@@ -1,0 +1,10 @@
+from nextou_tpu.nn.layers import (
+    act,
+    InstanceNorm,
+    make_norm,
+    DropPath,
+    GroupedMLP,
+)
+from nextou_tpu.nn.conv_blocks import ConvNormAct, StackedConvBlocks
+from nextou_tpu.nn.graph_conv import MRConv, DyGraphConv, PoolDyGraphConv
+from nextou_tpu.nn.graphers import FFN, SwinGrapher, PoolGrapher

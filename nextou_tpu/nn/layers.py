@@ -1,0 +1,188 @@
+"""Basic flax layers: activations, norms, DropPath, grouped channel-MLP.
+
+These correspond to the reference's ``torch_nn.py`` helpers (``act_layer``,
+``norm_layer``, ``BasicConv``) and timm's ``DropPath``, re-expressed
+channels-last. A 1x1 (grouped) convolution over a channels-last tensor is just
+a (block-diagonal) dense layer on the channel axis — on TPU this lowers to a
+single MXU matmul, so ``BasicConv`` becomes :class:`GroupedMLP`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# He-init matching the reference's InitWeights_He(neg_slope=1e-2):
+# std = sqrt(2 / (1 + a^2)) / sqrt(fan_in), biases zero
+# (nnUNetTrainer_NexToU.py:88 applies this to every conv).
+HE_GAIN_SQ = 2.0 / (1.0 + 1e-2 ** 2)
+
+
+def he_normal_init(fan_in_axes: Sequence[int] = (-2,)):
+    """Kaiming-normal initializer with explicit fan-in axes."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = 1
+        for a in fan_in_axes:
+            fan_in *= shape[a]
+        std = (HE_GAIN_SQ / fan_in) ** 0.5
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def conv_he_normal(key, shape, dtype=jnp.float32):
+    """He-normal for conv kernels shaped (*spatial, Cin/groups, Cout)."""
+    fan_in = 1
+    for a in shape[:-1]:
+        fan_in *= a
+    std = (HE_GAIN_SQ / fan_in) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def act(name: str, x: jax.Array, neg_slope: float = 1e-2) -> jax.Array:
+    """Functional activation dispatch (reference ``torch_nn.py:13-29``)."""
+    name = name.lower()
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "leakyrelu":
+        return jax.nn.leaky_relu(x, neg_slope)
+    if name == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if name == "hswish":
+        return jax.nn.hard_swish(x)
+    raise NotImplementedError(f"activation [{name}] is not found")
+
+
+class InstanceNorm(nn.Module):
+    """Instance norm over spatial axes (per sample, per channel), affine.
+
+    Equivalent to ``nn.InstanceNorm{2,3}d(affine=True)`` on channels-last
+    input (reference ``torch_nn.py:42-48``): normalizes each sample's each
+    channel over all spatial positions. Statistics in fp32.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        C = x.shape[-1]
+        axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        y = y * scale + bias
+        return y.astype(self.dtype or orig_dtype)
+
+
+def make_norm(kind: str, *, train: bool, name: str | None = None, dtype=None):
+    """Instantiate a norm module by kind ('batch' | 'instance').
+
+    BatchNorm matches torch defaults (eps 1e-5, momentum 0.1 -> flax 0.9) and
+    uses running averages at eval time.
+    """
+    kind = kind.lower()
+    if kind == "batch":
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name=name,
+        )
+    if kind == "instance":
+        return InstanceNorm(name=name, dtype=dtype)
+    raise NotImplementedError(f"normalization layer [{kind}] is not found")
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm ``DropPath`` semantics)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        if self.rate <= 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class GroupedDense(nn.Module):
+    """Block-diagonal dense layer on the channel axis = grouped 1x1 conv.
+
+    Input ``(..., Cin)`` -> output ``(..., Cout)`` with ``groups`` independent
+    blocks (reference ``BasicConv`` uses groups=4 in 2D / 6 in 3D,
+    ``torch_nn.py:73,77``).
+    """
+
+    features: int
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        g = self.groups
+        assert cin % g == 0 and self.features % g == 0, (
+            f"channels ({cin}->{self.features}) must be divisible by groups={g}"
+        )
+        ci, co = cin // g, self.features // g
+        w = self.param("kernel", he_normal_init((1,)), (g, ci, co), jnp.float32)
+        dt = self.dtype or x.dtype
+        lead = x.shape[:-1]
+        xg = x.reshape(*lead, g, ci)
+        y = jnp.einsum(
+            "...gi,gio->...go", xg, w.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        y = y.reshape(*lead, g * co)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b
+        return y.astype(dt)
+
+
+class GroupedMLP(nn.Module):
+    """Stack of grouped 1x1 convs with norm + act — the reference's
+    ``BasicConv`` (``torch_nn.py:66-92``) in channels-last form.
+
+    ``channels`` lists the layer widths ``[cin, c1, ..., cout]``.
+    """
+
+    channels: Sequence[int]
+    act_name: str = "relu"
+    norm: str | None = None
+    use_bias: bool = True
+    groups: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        for i in range(1, len(self.channels)):
+            x = GroupedDense(
+                features=self.channels[i],
+                groups=self.groups,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name=f"dense_{i - 1}",
+            )(x)
+            if self.norm is not None and self.norm.lower() != "none":
+                x = make_norm(
+                    self.norm, train=train, name=f"norm_{i - 1}", dtype=self.dtype
+                )(x)
+            if self.act_name is not None and self.act_name.lower() != "none":
+                x = act(self.act_name, x)
+        return x
