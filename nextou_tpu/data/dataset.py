@@ -1,0 +1,105 @@
+"""Preprocessed dataset storage and fold splits.
+
+Cases are stored one ``.npz`` per case: ``data`` float32 (C, *spatial),
+``seg`` int16 (*spatial) — the moral equivalent of nnU-Net's preprocessed
+``.npz``/``.npy`` pairs. Foreground voxel coordinates per class are cached at
+save time so the patch sampler's oversampling does not rescan volumes
+(nnU-Net stores the same thing in its preprocessing pickle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def save_case(
+    folder: str,
+    case_id: str,
+    data: np.ndarray,
+    seg: np.ndarray,
+    max_fg_locations: int = 10000,
+    properties: dict | None = None,
+):
+    """Write one preprocessed case with cached class locations."""
+    os.makedirs(folder, exist_ok=True)
+    assert data.ndim == seg.ndim + 1, (data.shape, seg.shape)
+    rng = np.random.default_rng(abs(hash(case_id)) % (2**32))
+    class_locs = {}
+    for c in np.unique(seg):
+        if c <= 0:
+            continue
+        locs = np.argwhere(seg == c)
+        if len(locs) > max_fg_locations:
+            locs = locs[rng.choice(len(locs), max_fg_locations, replace=False)]
+        class_locs[int(c)] = locs.astype(np.int32)
+    np.savez_compressed(
+        os.path.join(folder, f"{case_id}.npz"),
+        data=data.astype(np.float32),
+        seg=seg.astype(np.int16),
+        **{f"fg_{c}": v for c, v in class_locs.items()},
+    )
+    if properties:
+        with open(os.path.join(folder, f"{case_id}.json"), "w") as f:
+            json.dump(properties, f)
+
+
+@dataclass
+class Case:
+    data: np.ndarray  # (C, *sp) float32
+    seg: np.ndarray  # (*sp) int16
+    class_locations: dict[int, np.ndarray]
+    properties: dict
+
+
+class PreprocessedDataset:
+    """A folder of preprocessed ``.npz`` cases."""
+
+    def __init__(self, folder: str, case_ids: list[str] | None = None):
+        self.folder = folder
+        if case_ids is None:
+            case_ids = sorted(
+                f[:-4] for f in os.listdir(folder) if f.endswith(".npz")
+            )
+        self.case_ids = case_ids
+
+    def __len__(self):
+        return len(self.case_ids)
+
+    def load(self, case_id: str) -> Case:
+        with np.load(os.path.join(self.folder, f"{case_id}.npz")) as z:
+            data = z["data"]
+            seg = z["seg"]
+            class_locs = {
+                int(k[3:]): z[k] for k in z.files if k.startswith("fg_")
+            }
+        props_path = os.path.join(self.folder, f"{case_id}.json")
+        props = {}
+        if os.path.exists(props_path):
+            with open(props_path) as f:
+                props = json.load(f)
+        return Case(data=data, seg=seg, class_locations=class_locs, properties=props)
+
+    def subset(self, case_ids: list[str]) -> "PreprocessedDataset":
+        return PreprocessedDataset(self.folder, case_ids)
+
+
+def make_splits(case_ids: list[str], n_folds: int = 5, seed: int = 12345):
+    """nnU-Net-style 5-fold CV splits (shuffled K-fold)."""
+    rng = np.random.default_rng(seed)
+    ids = np.array(sorted(case_ids))
+    perm = rng.permutation(len(ids))
+    folds = []
+    for k in range(n_folds):
+        val_idx = perm[k::n_folds]
+        val = set(ids[val_idx].tolist())
+        folds.append(
+            {
+                "train": [i for i in ids.tolist() if i not in val],
+                "val": sorted(val),
+            }
+        )
+    return folds

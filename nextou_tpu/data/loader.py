@@ -1,0 +1,89 @@
+"""Prefetching patch loader.
+
+Host-side sampling + augmentation run in background threads, producing
+channels-last batches ready for ``device_put`` — the stand-in for nnU-Net's
+batchgenerators multi-process augmentation workers (SURVEY.md §2.4). Threads
+(not processes) because the heavy lifting is NumPy/SciPy releasing the GIL,
+and device compute overlaps the host work anyway.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from nextou_tpu.data.augment import AugmentConfig, augment_batch
+from nextou_tpu.data.sampler import PatchSampler
+
+
+class PatchDataLoader:
+    """Iterator of {'data': (B, *sp, C) f32, 'seg': (B, *sp) i32} batches."""
+
+    def __init__(
+        self,
+        sampler: PatchSampler,
+        augment: AugmentConfig | None = None,
+        seed: int = 0,
+        num_threads: int = 2,
+        prefetch: int = 4,
+    ):
+        self.sampler = sampler
+        self.augment = augment
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self._rngs = [
+            np.random.default_rng(seed + 1000 * i) for i in range(self.num_threads)
+        ]
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._lock = threading.Lock()
+
+    def _produce(self, tid: int):
+        rng = self._rngs[tid]
+        while not self._stop.is_set():
+            with self._lock:  # sampler RNG is shared state
+                data, seg = self.sampler.sample_batch()
+            if self.augment is not None:
+                data, seg = augment_batch(data, seg, self.augment, rng)
+            batch = {
+                # (B, C, *sp) -> channels-last
+                "data": np.ascontiguousarray(np.moveaxis(data, 1, -1)),
+                "seg": seg.astype(np.int32),
+            }
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+    def start(self):
+        if self._threads:
+            return self
+        for i in range(self.num_threads):
+            t = threading.Thread(target=self._produce, args=(i,), daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self
+
+    def stop(self):
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._threads = []
+
+    def __iter__(self):
+        self.start()
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()

@@ -1,0 +1,92 @@
+"""Patch sampling with foreground oversampling.
+
+nnU-Net semantics: each batch draws random cases; a fixed trailing fraction of
+the batch (33.3%) is forced to contain foreground by centering the patch on a
+random cached foreground voxel of a random present class; patches at volume
+borders are zero-padded (data) / padded with label 0 (seg).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nextou_tpu.data.dataset import Case, PreprocessedDataset
+
+
+def extract_patch(
+    data: np.ndarray, seg: np.ndarray, center: np.ndarray, patch_size
+) -> tuple[np.ndarray, np.ndarray]:
+    """Extract (C, *patch) / (*patch) around ``center``, zero-padded."""
+    sp = np.array(seg.shape)
+    ps = np.array(patch_size)
+    lo = center - ps // 2
+    hi = lo + ps
+    src_lo = np.maximum(lo, 0)
+    src_hi = np.minimum(hi, sp)
+    dst_lo = src_lo - lo
+    dst_hi = dst_lo + (src_hi - src_lo)
+
+    out_d = np.zeros((data.shape[0], *patch_size), np.float32)
+    out_s = np.zeros(tuple(patch_size), np.int16)
+    src = tuple(slice(a, b) for a, b in zip(src_lo, src_hi))
+    dst = tuple(slice(a, b) for a, b in zip(dst_lo, dst_hi))
+    out_d[(slice(None),) + dst] = data[(slice(None),) + src]
+    out_s[dst] = seg[src]
+    return out_d, out_s
+
+
+class PatchSampler:
+    """Draws (data, seg) patch batches from a preprocessed dataset."""
+
+    def __init__(
+        self,
+        dataset: PreprocessedDataset,
+        patch_size,
+        batch_size: int,
+        oversample_foreground_percent: float = 0.333,
+        seed: int = 0,
+        cache_cases: bool = True,
+    ):
+        self.dataset = dataset
+        self.patch_size = tuple(patch_size)
+        self.batch_size = batch_size
+        self.oversample = oversample_foreground_percent
+        self.rng = np.random.default_rng(seed)
+        self._cache: dict[str, Case] = {}
+        self.cache_cases = cache_cases
+
+    def _get(self, case_id: str) -> Case:
+        if self.cache_cases:
+            if case_id not in self._cache:
+                self._cache[case_id] = self.dataset.load(case_id)
+            return self._cache[case_id]
+        return self.dataset.load(case_id)
+
+    def _sample_center(self, case: Case, force_fg: bool) -> np.ndarray:
+        sp = np.array(case.seg.shape)
+        if force_fg and case.class_locations:
+            cls = self.rng.choice(list(case.class_locations.keys()))
+            locs = case.class_locations[cls]
+            return locs[self.rng.integers(len(locs))].astype(np.int64)
+        ps = np.array(self.patch_size)
+        lo = np.minimum(ps // 2, sp // 2)
+        hi = np.maximum(sp - ps + ps // 2, lo + 1)
+        return np.array(
+            [self.rng.integers(l, h) for l, h in zip(lo, hi)], np.int64
+        )
+
+    def sample_batch(self) -> tuple[np.ndarray, np.ndarray]:
+        """Returns data (B, C, *patch) float32, seg (B, *patch) int16."""
+        n_fg = round(self.batch_size * self.oversample)
+        datas, segs = [], []
+        for i in range(self.batch_size):
+            case_id = self.dataset.case_ids[
+                self.rng.integers(len(self.dataset.case_ids))
+            ]
+            case = self._get(case_id)
+            force_fg = i >= self.batch_size - n_fg
+            center = self._sample_center(case, force_fg)
+            d, s = extract_patch(case.data, case.seg, center, self.patch_size)
+            datas.append(d)
+            segs.append(s)
+        return np.stack(datas), np.stack(segs)

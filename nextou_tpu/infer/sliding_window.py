@@ -1,0 +1,152 @@
+"""Gaussian-blended sliding-window inference with mirroring TTA.
+
+The north-star workload (SURVEY.md §3.4): tile the volume with 50%-overlap
+patches, per tile average softmax over the allowed mirror flips, weight by a
+Gaussian importance map (sigma = patch/8), accumulate, normalize.
+
+TPU design: the per-tile forward + TTA + softmax + Gaussian weighting is one
+jitted function over a *batch of tiles* (``tile_batch`` tiles per device
+step, so the MXU sees large batched convs); accumulation into the full
+volume happens host-side in fp32 (volumes can exceed HBM for large cases).
+Mirror combinations are static (compiled in), matching
+``inference_allowed_mirroring_axes`` semantics.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def compute_sliding_window_steps(
+    image_size: Sequence[int], patch_size: Sequence[int], step_fraction: float = 0.5
+) -> list[list[int]]:
+    """Per-axis tile start coordinates (nnU-Net's algorithm: cover the volume
+    with >= 1/step_fraction overlap, ends aligned)."""
+    steps = []
+    for img, patch in zip(image_size, patch_size):
+        assert img >= patch, (image_size, patch_size)
+        target = patch * step_fraction
+        num = int(np.ceil((img - patch) / target)) + 1
+        if num > 1:
+            actual = (img - patch) / (num - 1)
+            steps.append([int(round(i * actual)) for i in range(num)])
+        else:
+            steps.append([0])
+    return steps
+
+
+def gaussian_importance_map(
+    patch_size: Sequence[int], sigma_scale: float = 1.0 / 8
+) -> np.ndarray:
+    """Separable Gaussian centered on the patch, max 1, strictly positive."""
+    axes = []
+    for p in patch_size:
+        c = (p - 1) / 2.0
+        sigma = p * sigma_scale
+        i = np.arange(p, dtype=np.float64)
+        axes.append(np.exp(-0.5 * ((i - c) / sigma) ** 2))
+    g = axes[0]
+    for a in axes[1:]:
+        g = np.multiply.outer(g, a)
+    g = g / g.max()
+    g = np.maximum(g, g[g > 0].min())
+    return g.astype(np.float32)
+
+
+def make_tile_predictor(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    mirror_axes: Sequence[int] | None,
+) -> Callable[[jax.Array], jax.Array]:
+    """Wrap a logits function into a jitted softmax+TTA tile predictor.
+
+    Args:
+        apply_fn: ``(B, *patch, C_in) -> (B, *patch, num_classes)`` logits
+            (the model's full-res head, deep supervision off).
+        mirror_axes: spatial axes for flip-TTA (None/() disables). 2^|axes|
+            forward passes, averaged (SURVEY.md §3.4).
+    """
+    axes = tuple(mirror_axes) if mirror_axes else ()
+    combos = []
+    for r in range(len(axes) + 1):
+        combos.extend(itertools.combinations(axes, r))
+
+    @jax.jit
+    def predict(tiles: jax.Array) -> jax.Array:
+        total = None
+        for combo in combos:
+            flip_dims = tuple(a + 1 for a in combo)  # skip batch dim
+            x = jnp.flip(tiles, flip_dims) if combo else tiles
+            logits = apply_fn(x)
+            if combo:
+                logits = jnp.flip(logits, flip_dims)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            total = probs if total is None else total + probs
+        return total / float(len(combos))
+
+    return predict
+
+
+def sliding_window_predict(
+    tile_predictor: Callable[[jax.Array], jax.Array],
+    data: np.ndarray,
+    patch_size: Sequence[int],
+    num_classes: int,
+    *,
+    step_fraction: float = 0.5,
+    use_gaussian: bool = True,
+    tile_batch: int = 4,
+) -> np.ndarray:
+    """Predict class probabilities for a full volume.
+
+    Args:
+        data: ``(*spatial, C_in)`` preprocessed image (channels-last).
+    Returns:
+        ``(*spatial, num_classes)`` float32 probabilities.
+    """
+    spatial = data.shape[:-1]
+    patch = tuple(patch_size)
+    # pad up to patch size if needed
+    pad = [(0, max(0, p - s)) for s, p in zip(spatial, patch)]
+    padded = np.pad(data, pad + [(0, 0)]) if any(p[1] for p in pad) else data
+    psp = padded.shape[:-1]
+
+    steps = compute_sliding_window_steps(psp, patch, step_fraction)
+    coords = list(itertools.product(*steps))
+    gauss = (
+        gaussian_importance_map(patch)
+        if use_gaussian
+        else np.ones(patch, np.float32)
+    )
+
+    acc = np.zeros((*psp, num_classes), np.float32)
+    weight = np.zeros(psp, np.float32)
+
+    for i in range(0, len(coords), tile_batch):
+        chunk = coords[i : i + tile_batch]
+        tiles = np.stack(
+            [
+                padded[tuple(slice(c, c + p) for c, p in zip(co, patch))]
+                for co in chunk
+            ]
+        )
+        # pad the tile batch to a fixed size so the jit sees one shape
+        n_real = len(chunk)
+        if n_real < tile_batch:
+            tiles = np.concatenate(
+                [tiles, np.repeat(tiles[-1:], tile_batch - n_real, axis=0)]
+            )
+        probs = np.asarray(tile_predictor(jnp.asarray(tiles)))[:n_real]
+        for co, pr in zip(chunk, probs):
+            sl = tuple(slice(c, c + p) for c, p in zip(co, patch))
+            acc[sl] += pr * gauss[..., None]
+            weight[sl] += gauss
+    acc /= weight[..., None]
+    # crop padding back off
+    sl = tuple(slice(0, s) for s in spatial)
+    return acc[sl]

@@ -1,0 +1,75 @@
+"""Compound Dice + CE + TI/BTI loss.
+
+Equivalent of ``DC_and_CE_and_TI_Loss`` / ``DC_and_CE_and_BTI_Loss``
+(``/root/reference/loss/compound_{ti,bti}_loss.py``): the two differ only in
+the label-set semantics already folded into :class:`TILossSpec`. Reference
+defaults: weight_ce = weight_dice = 1, weight_ti = 1e-6 (3D) / 1e-4 (2D).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from nextou_tpu.losses.ce import cross_entropy_loss
+from nextou_tpu.losses.dice import soft_dice_loss
+from nextou_tpu.losses.ti import TILossSpec, ti_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class CompoundLossSpec:
+    weight_ce: float = 1.0
+    weight_dice: float = 1.0
+    weight_ti: float = 0.0
+    batch_dice: bool = True
+    smooth: float = 1e-5
+    do_bg: bool = False
+    ignore_label: int | None = None
+    ti: TILossSpec | None = None
+
+
+def dc_ce_ti_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    spec: CompoundLossSpec,
+    *,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """logits (B, *sp, C), target (B, *sp) int -> scalar.
+
+    Ignore-label handling mirrors ``compound_bti_loss.py:40-57``: the Dice
+    term is masked, the CE term uses ignore_index, and ignored voxels are
+    replaced by 0 for the Dice one-hot.
+    """
+    if spec.ignore_label is not None:
+        mask = target != spec.ignore_label
+        target_dice = jnp.where(mask, target, 0)
+        loss_mask = mask
+    else:
+        target_dice = target
+        loss_mask = None
+
+    total = jnp.zeros((), jnp.float32)
+    if spec.weight_dice != 0:
+        total = total + spec.weight_dice * soft_dice_loss(
+            logits,
+            target_dice,
+            batch_dice=spec.batch_dice,
+            do_bg=spec.do_bg,
+            smooth=spec.smooth,
+            loss_mask=loss_mask,
+            axis_name=axis_name,
+        )
+    if spec.weight_ce != 0:
+        total = total + spec.weight_ce * cross_entropy_loss(
+            logits, target, ignore_index=spec.ignore_label
+        )
+    if spec.weight_ti != 0 and spec.ti is not None and spec.ti.interactions:
+        # reference passes the raw target to TI; with an ignore label present
+        # we clamp it into range for the CE gather (ignored voxels are
+        # extremely unlikely to be critical; parity unaffected when
+        # ignore_label is None, which is the case for every reference dataset)
+        total = total + spec.weight_ti * ti_loss(logits, target_dice, spec.ti)
+    return total

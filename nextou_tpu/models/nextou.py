@@ -1,0 +1,218 @@
+"""The NexToU hybrid conv/GNN U-Net as a flax module.
+
+A thin interpreter over :class:`nextou_tpu.models.spec.ModelSpec` (the shape
+program). Mirrors the reference network (``NexToU.py:11-63``,
+``NexToU_Encoder_Decoder.py:34-366``): plain-conv early stages, the 4 deepest
+encoder stages (and 3 deepest decoder stages) get PoolGNN + SwinGNN blocks;
+transp-conv upsampling with skip concatenation; one 1x1 seg head per decoder
+stage, all built regardless of deep supervision so checkpoints always reload
+(reference ``:302-305``).
+
+Layout is channels-last ``(B, *spatial, C)`` — the TPU conv layout. Compute
+dtype is configurable (bf16 for speed); params and norm statistics stay fp32.
+Optionally remats each stage to trade FLOPs for HBM during training.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from nextou_tpu.models.spec import ModelSpec, StageSpec, DecoderStageSpec, GNNBlockSpec
+from nextou_tpu.nn.conv_blocks import StackedConvBlocks
+from nextou_tpu.nn.graphers import FFN, PoolGrapher, SwinGrapher
+from nextou_tpu.nn.layers import conv_he_normal
+
+
+class _GNNBlocks(nn.Module):
+    """A sequence of [Grapher -> FFN] pairs for one stage."""
+
+    blocks: tuple[GNNBlockSpec, ...]
+    features: int
+    spec: ModelSpec
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        s = self.spec
+        for i, b in enumerate(self.blocks):
+            if b.kind == "pool":
+                x = PoolGrapher(
+                    img_shape=tuple(x.shape[1:-1]),
+                    pool_size=b.pool_size,
+                    k=b.k,
+                    dilation=b.dilation,
+                    reduce_ratio=b.reduce_ratio,
+                    act_name=s.act,
+                    norm=s.gnn_norm,
+                    norm_op=s.norm_op,
+                    use_bias=s.use_bias,
+                    stochastic=s.stochastic,
+                    epsilon=s.epsilon,
+                    drop_path=b.drop_path,
+                    groups=s.groups,
+                    dtype=self.dtype,
+                    name=f"grapher_{i}",
+                )(x, train=train)
+            else:
+                x = SwinGrapher(
+                    window_size=b.window_size,
+                    shift_size=b.shift_size,
+                    k=b.k,
+                    dilation=b.dilation,
+                    act_name=s.act,
+                    norm_op=s.norm_op,
+                    use_bias=s.use_bias,
+                    stochastic=s.stochastic,
+                    epsilon=s.epsilon,
+                    drop_path=b.drop_path,
+                    groups=s.groups,
+                    dtype=self.dtype,
+                    name=f"grapher_{i}",
+                )(x, train=train)
+            x = FFN(
+                hidden_features=self.features * 4,
+                out_features=self.features,
+                act_name=s.act,
+                drop_path=b.drop_path,
+                norm=s.norm_op,
+                dtype=self.dtype,
+                name=f"ffn_{i}",
+            )(x, train=train)
+        return x
+
+
+class EncoderStage(nn.Module):
+    stage: StageSpec
+    spec: ModelSpec
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        st = self.stage
+        x = StackedConvBlocks(
+            num_convs=st.n_conv,
+            features=st.features,
+            kernel_size=st.kernel_size,
+            first_stride=st.stride,
+            norm=self.spec.norm_op,
+            dtype=self.dtype,
+            name="convs",
+        )(x, train=train)
+        if st.gnn:
+            x = _GNNBlocks(
+                blocks=st.gnn,
+                features=st.features,
+                spec=self.spec,
+                dtype=self.dtype,
+                name="gnn",
+            )(x, train)
+        return x
+
+
+class DecoderStage(nn.Module):
+    stage: DecoderStageSpec
+    spec: ModelSpec
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array, train: bool) -> jax.Array:
+        st = self.stage
+        x = nn.ConvTranspose(
+            features=st.features,
+            kernel_size=st.transp_stride,
+            strides=st.transp_stride,
+            padding="VALID",
+            use_bias=self.spec.use_bias,
+            kernel_init=conv_he_normal,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="transpconv",
+        )(x)
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = StackedConvBlocks(
+            num_convs=st.n_conv,
+            features=st.features,
+            kernel_size=st.kernel_size,
+            first_stride=(1,) * len(st.kernel_size),
+            norm=self.spec.norm_op,
+            dtype=self.dtype,
+            name="convs",
+        )(x, train=train)
+        if st.gnn:
+            x = _GNNBlocks(
+                blocks=st.gnn,
+                features=st.features,
+                spec=self.spec,
+                dtype=self.dtype,
+                name="gnn",
+            )(x, train)
+        return x
+
+
+class NexToU(nn.Module):
+    """Full encoder/decoder network.
+
+    ``__call__`` returns a list of logits [full-res, ..., lowest-res] when
+    ``spec.deep_supervision`` (reference decoder output order ``:331-337``),
+    else a single full-res logits array.
+    """
+
+    spec: ModelSpec
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False):
+        s = self.spec
+        assert x.shape[1:-1] == s.patch_size, (
+            f"input spatial {x.shape[1:-1]} != spec patch {s.patch_size}"
+        )
+        x = x.astype(self.dtype)
+
+        enc_cls = EncoderStage
+        dec_cls = DecoderStage
+        if self.remat:
+            enc_cls = nn.remat(EncoderStage, static_argnums=(2,))
+            dec_cls = nn.remat(DecoderStage, static_argnums=(3,))
+
+        skips = []
+        for i, st in enumerate(s.encoder):
+            x = enc_cls(stage=st, spec=s, dtype=self.dtype, name=f"enc_{i}")(
+                x, train
+            )
+            skips.append(x)
+
+        seg_outputs = []
+        x = skips[-1]
+        n_dec = len(s.decoder)
+        for i, st in enumerate(s.decoder):
+            x = dec_cls(stage=st, spec=s, dtype=self.dtype, name=f"dec_{i}")(
+                x, skips[-(i + 2)], train
+            )
+            # all seg heads are always *built* so params always exist
+            head = nn.Conv(
+                features=s.num_classes,
+                kernel_size=(1,) * s.spatial_dims,
+                use_bias=True,
+                kernel_init=conv_he_normal,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"seg_head_{i}",
+            )
+            if s.deep_supervision or i == n_dec - 1:
+                seg_outputs.append(head(x).astype(jnp.float32))
+            else:
+                # initialize params without computing over the full map
+                dummy = jnp.zeros(
+                    (1,) + (1,) * s.spatial_dims + (x.shape[-1],), self.dtype
+                )
+                _ = head(dummy)
+
+        seg_outputs = seg_outputs[::-1]  # highest resolution first
+        if not s.deep_supervision:
+            return seg_outputs[0]
+        return seg_outputs

@@ -72,12 +72,21 @@ class FFN(nn.Module):
 
 
 def _rel_pos_constant(mod: nn.Module, channels: int, n: int, n_reduced: int, dims: int):
-    """Fixed kNN distance-bias table in the 'constants' collection."""
-    v = mod.variable(
-        "constants",
-        "relative_pos",
-        lambda: jnp.asarray(relative_pos_bias(channels, n, n_reduced, dims)),
-    )
+    """Fixed kNN distance-bias table in the 'constants' collection.
+
+    The variable name encodes (channels, dims); together with the leaf shape
+    (n, n_reduced) it makes the table reconstructable from the variable tree
+    alone — ``nextou_tpu.utils.init`` uses this to materialize constants
+    without tracing the model (fast init path).
+    """
+    from nextou_tpu.utils import init as init_util
+
+    def make():
+        if init_util.shape_only():
+            return jnp.zeros((n, n_reduced), jnp.float32)
+        return jnp.asarray(relative_pos_bias(channels, n, n_reduced, dims))
+
+    v = mod.variable("constants", f"relative_pos_c{channels}_d{dims}", make)
     return v.value
 
 

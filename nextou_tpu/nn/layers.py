@@ -20,6 +20,31 @@ import flax.linen as nn
 # (nnUNetTrainer_NexToU.py:88 applies this to every conv).
 HE_GAIN_SQ = 2.0 / (1.0 + 1e-2 ** 2)
 
+import numpy as np  # noqa: E402
+
+# Host-side init RNG. Parameter initialization deliberately does NOT consume
+# the flax PRNG key: materializing flax's lazily-folded keys costs one
+# threefry program compile per parameter (minutes of XLA compile for the full
+# model on a slow host, for a one-time side effect). Instead params are drawn
+# from this NumPy generator — reseed with :func:`seed_init` (done by
+# ``create_train_state``) for reproducibility; parameter values are then
+# deterministic in (seed, module construction order).
+_INIT_RNG = np.random.default_rng(0)
+
+
+def seed_init(seed: int) -> None:
+    global _INIT_RNG
+    _INIT_RNG = np.random.default_rng(seed)
+
+
+def _sample_normal(key, shape, dtype, std: float):
+    del key  # see note on _INIT_RNG
+    from nextou_tpu.utils import init as init_util
+
+    if init_util.shape_only():  # under fast_init's eval_shape pass
+        return jnp.zeros(shape, dtype)
+    return jnp.asarray(std * _INIT_RNG.standard_normal(shape), dtype)
+
 
 def he_normal_init(fan_in_axes: Sequence[int] = (-2,)):
     """Kaiming-normal initializer with explicit fan-in axes."""
@@ -29,7 +54,7 @@ def he_normal_init(fan_in_axes: Sequence[int] = (-2,)):
         for a in fan_in_axes:
             fan_in *= shape[a]
         std = (HE_GAIN_SQ / fan_in) ** 0.5
-        return std * jax.random.normal(key, shape, dtype)
+        return _sample_normal(key, shape, dtype, std)
 
     return init
 
@@ -40,7 +65,7 @@ def conv_he_normal(key, shape, dtype=jnp.float32):
     for a in shape[:-1]:
         fan_in *= a
     std = (HE_GAIN_SQ / fan_in) ** 0.5
-    return std * jax.random.normal(key, shape, dtype)
+    return _sample_normal(key, shape, dtype, std)
 
 
 def act(name: str, x: jax.Array, neg_slope: float = 1e-2) -> jax.Array:

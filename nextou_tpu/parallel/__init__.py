@@ -1,0 +1,6 @@
+from nextou_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    batch_sharding,
+)

@@ -1,0 +1,125 @@
+"""Jitted train / eval steps.
+
+One sharded ``jit`` over the whole step — batch sharded on the mesh 'data'
+axis, params replicated — is the TPU equivalent of the reference's
+DDP+autocast+GradScaler loop (SURVEY.md §3.1): XLA inserts the gradient
+all-reduces, bf16 compute with fp32 params replaces AMP (no grad scaler
+needed — bf16 has fp32's exponent range), and the batch-Dice statistics
+reduce globally because the loss is written in global-batch terms.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+
+from nextou_tpu.losses import dc_ce_ti_loss, deep_supervised_loss, CompoundLossSpec
+from nextou_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model: nn.Module,
+    optimizer: optax.GradientTransformation,
+    loss_spec: CompoundLossSpec,
+    ds_weights: Sequence[float] | None = None,
+) -> Callable[[TrainState, dict[str, jax.Array]], tuple[TrainState, dict]]:
+    """Returns ``train_step(state, batch) -> (state, metrics)``.
+
+    ``batch`` = {'data': (B, *sp, C) float, 'seg': (B, *sp) int}.
+    """
+
+    def loss_fn(params, state: TrainState, rngs, batch):
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        if state.constants:
+            variables["constants"] = state.constants
+        outs, mutated = model.apply(
+            variables,
+            batch["data"],
+            train=True,
+            rngs=rngs,
+            mutable=["batch_stats"],
+        )
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        loss = deep_supervised_loss(
+            outs,
+            batch["seg"],
+            lambda o, t: dc_ce_ti_loss(o, t, loss_spec),
+            ds_weights,
+        )
+        return loss, mutated.get("batch_stats", state.batch_stats)
+
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        rng, dropout_rng, graph_rng = jax.random.split(state.rng, 3)
+        rngs = {"dropout": dropout_rng, "graph": graph_rng}
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, rngs, batch
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            rng=rng,
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model: nn.Module,
+    loss_spec: CompoundLossSpec,
+    ds_weights: Sequence[float] | None = None,
+) -> Callable[[TrainState, dict[str, jax.Array]], dict]:
+    """Validation step: DS loss + global hard-Dice statistics (tp/fp/fn per
+    foreground class on the full-res argmax), as nnU-Net's validation_step."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        variables = state.model_variables()
+        outs = model.apply(variables, batch["data"], train=False)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        loss = deep_supervised_loss(
+            outs,
+            batch["seg"],
+            lambda o, t: dc_ce_ti_loss(o, t, loss_spec),
+            ds_weights,
+        )
+        logits = outs[0]
+        num_classes = logits.shape[-1]
+        pred = jnp.argmax(logits, axis=-1)
+        seg = batch["seg"]
+        axes = tuple(range(pred.ndim))
+        tp, fp, fn = [], [], []
+        for c in range(1, num_classes):
+            p = pred == c
+            g = seg == c
+            tp.append(jnp.sum(p & g, axis=axes))
+            fp.append(jnp.sum(p & ~g, axis=axes))
+            fn.append(jnp.sum(~p & g, axis=axes))
+        return {
+            "loss": loss,
+            "tp": jnp.stack(tp),
+            "fp": jnp.stack(fp),
+            "fn": jnp.stack(fn),
+        }
+
+    return eval_step
+
+
+def pseudo_dice(tp, fp, fn) -> jnp.ndarray:
+    """Global per-class Dice from aggregated statistics (nan-free)."""
+    return (2 * tp) / jnp.clip(2 * tp + fp + fn, min=1e-8)

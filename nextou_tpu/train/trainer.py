@@ -1,0 +1,330 @@
+"""The base trainer: nnU-Net's training protocol, TPU-native.
+
+Public surface mirrors what the reference relies on (SURVEY.md §3.1):
+``Trainer(plans, configuration, fold, dataset_json, ...)``, 1000 epochs x 250
+iterations, SGD(momentum .99, nesterov) with PolyLR from 1e-2, grad-clip 12,
+deep supervision with 1/2^i weights (last zeroed), 33% foreground
+oversampling, EMA(0.9) pseudo-Dice model selection, checkpoint_latest every
+50 epochs + checkpoint_best + checkpoint_final.
+
+Architecture is forced to NexToU regardless of the plans' UNet_class_name,
+exactly like the reference trainer (``nnUNetTrainer_NexToU.py:31``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextou_tpu.data import (
+    AugmentConfig,
+    PatchDataLoader,
+    PatchSampler,
+    PreprocessedDataset,
+    make_splits,
+)
+from nextou_tpu.losses import CompoundLossSpec, deep_supervision_weights
+from nextou_tpu.models import NexToU, build_model_spec
+from nextou_tpu.plans import PlansManager
+from nextou_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from nextou_tpu.train.optimizer import make_optimizer, poly_lr
+from nextou_tpu.train.registry import register_trainer
+from nextou_tpu.train.state import create_train_state
+from nextou_tpu.train.train_step import make_eval_step, make_train_step, pseudo_dice
+
+
+@register_trainer
+class NexToUTrainer:
+    """Base trainer (registry name alias: ``nnUNetTrainer_NexToU``)."""
+
+    num_epochs: int = 1000
+    num_iterations_per_epoch: int = 250
+    num_val_iterations_per_epoch: int = 50
+    initial_lr: float = 1e-2
+    weight_decay: float = 3e-5
+    grad_clip_norm: float = 12.0
+    oversample_foreground_percent: float = 0.333
+    ema_decay: float = 0.9
+    checkpoint_every: int = 50
+
+    def __init__(
+        self,
+        plans: dict | str,
+        configuration: str,
+        fold: int,
+        dataset_json: dict,
+        preprocessed_folder: str | None = None,
+        output_folder: str = "./nextou_output",
+        *,
+        compute_dtype: Any = jnp.bfloat16,
+        remat: bool = True,
+        seed: int = 12345,
+        num_epochs: int | None = None,
+        num_iterations_per_epoch: int | None = None,
+        num_val_iterations_per_epoch: int | None = None,
+        batch_size: int | None = None,
+    ):
+        self.plans_manager = PlansManager(plans)
+        self.configuration_name = configuration
+        self.configuration_manager = self.plans_manager.get_configuration(configuration)
+        self.fold = fold
+        self.dataset_json = dataset_json
+        self.label_manager = self.plans_manager.get_label_manager(dataset_json)
+        self.preprocessed_folder = preprocessed_folder
+        self.output_folder = output_folder
+        self.compute_dtype = compute_dtype
+        self.remat = remat
+        self.seed = seed
+        if num_epochs is not None:
+            self.num_epochs = num_epochs
+        if num_iterations_per_epoch is not None:
+            self.num_iterations_per_epoch = num_iterations_per_epoch
+        if num_val_iterations_per_epoch is not None:
+            self.num_val_iterations_per_epoch = num_val_iterations_per_epoch
+        self.batch_size = batch_size or self.configuration_manager.batch_size
+
+        self.enable_deep_supervision = True
+        # TTA config; NoMirroring trainers set this to None
+        dim = self.configuration_manager.spatial_dims
+        self.inference_allowed_mirroring_axes: tuple[int, ...] | None = tuple(
+            range(dim)
+        )
+
+        self.current_epoch = 0
+        self._best_ema: float | None = None
+        self.ema_pseudo_dice: float | None = None
+        self.log_history: list[dict] = []
+        self._initialized = False
+
+    # ------------------------------------------------------------------ #
+    # configuration hooks (overridden by the registry trainer subclasses)
+    # ------------------------------------------------------------------ #
+
+    def configure_mirroring(self) -> tuple[int, ...]:
+        """Train-time mirror axes (all axes by default, nnU-Net style)."""
+        return tuple(range(self.configuration_manager.spatial_dims))
+
+    def _loss_spec(self) -> CompoundLossSpec:
+        """DC + CE (base nnUNetTrainer loss); TI/BTI trainers override."""
+        return CompoundLossSpec(
+            weight_ce=1.0,
+            weight_dice=1.0,
+            weight_ti=0.0,
+            batch_dice=self.configuration_manager.batch_dice,
+            smooth=1e-5,
+            do_bg=False,
+            ignore_label=self.label_manager.ignore_label,
+        )
+
+    def build_network_spec(self):
+        cm = self.configuration_manager
+        return build_model_spec(
+            in_channels=self._num_input_channels(),
+            patch_size=cm.patch_size,
+            n_stages=cm.num_stages,
+            features_per_stage=cm.features_per_stage(),
+            kernel_sizes=cm.conv_kernel_sizes,
+            strides=cm.pool_op_kernel_sizes,
+            n_conv_per_stage=cm.n_conv_per_stage_encoder,
+            n_conv_per_stage_decoder=cm.n_conv_per_stage_decoder,
+            num_classes=self.label_manager.num_segmentation_heads,
+            deep_supervision=self.enable_deep_supervision,
+        )
+
+    def _num_input_channels(self) -> int:
+        ch = self.dataset_json.get("channel_names") or self.dataset_json.get(
+            "modality", {"0": "X"}
+        )
+        return max(1, len(ch))
+
+    # ------------------------------------------------------------------ #
+    # initialization
+    # ------------------------------------------------------------------ #
+
+    def initialize(self):
+        if self._initialized:
+            return self
+        self.model_spec = self.build_network_spec()
+        self.network = NexToU(
+            spec=self.model_spec, dtype=self.compute_dtype, remat=self.remat
+        )
+        self.loss_spec = self._loss_spec()
+        n_ds = len(self.model_spec.decoder)
+        self.ds_weights = (
+            deep_supervision_weights(n_ds) if self.enable_deep_supervision else None
+        )
+        schedule = poly_lr(
+            self.initial_lr,
+            self.num_epochs,
+            0.9,
+            steps_per_epoch=self.num_iterations_per_epoch,
+        )
+        self.optimizer = make_optimizer(
+            schedule,
+            weight_decay=self.weight_decay,
+            clip_norm=self.grad_clip_norm,
+        )
+        example = jnp.zeros(
+            (1, *self.model_spec.patch_size, self.model_spec.in_channels),
+            jnp.float32,
+        )
+        self.state = create_train_state(
+            self.network, self.optimizer, example, jax.random.PRNGKey(self.seed)
+        )
+        self.train_step = make_train_step(
+            self.network, self.optimizer, self.loss_spec, self.ds_weights
+        )
+        self.eval_step = make_eval_step(self.network, self.loss_spec, self.ds_weights)
+        self._initialized = True
+        return self
+
+    # ------------------------------------------------------------------ #
+    # data
+    # ------------------------------------------------------------------ #
+
+    def get_split(self):
+        dataset = PreprocessedDataset(self.preprocessed_folder)
+        if self.fold == "all":
+            return dataset, dataset
+        splits_path = os.path.join(self.preprocessed_folder, "splits_final.json")
+        if os.path.exists(splits_path):
+            with open(splits_path) as f:
+                splits = json.load(f)
+        else:
+            splits = make_splits(dataset.case_ids)
+            with open(splits_path, "w") as f:
+                json.dump(splits, f)
+        fold = splits[int(self.fold)]
+        return dataset.subset(fold["train"]), dataset.subset(fold["val"])
+
+    def get_dataloaders(self):
+        train_ds, val_ds = self.get_split()
+        patch = tuple(self.configuration_manager.patch_size)
+        train_sampler = PatchSampler(
+            train_ds,
+            patch,
+            self.batch_size,
+            self.oversample_foreground_percent,
+            seed=self.seed,
+        )
+        val_sampler = PatchSampler(
+            val_ds, patch, self.batch_size,
+            self.oversample_foreground_percent, seed=self.seed + 1,
+        )
+        aug = AugmentConfig(mirror_axes=self.configure_mirroring())
+        if self.configuration_manager.spatial_dims == 2:
+            aug.rotation_rad = (np.pi,) * 1  # in-plane ±180° for 2D
+        train_loader = PatchDataLoader(train_sampler, augment=aug, seed=self.seed)
+        val_loader = PatchDataLoader(val_sampler, augment=None, seed=self.seed + 7)
+        return train_loader, val_loader
+
+    # ------------------------------------------------------------------ #
+    # training loop
+    # ------------------------------------------------------------------ #
+
+    def print_to_log_file(self, *msgs):
+        line = " ".join(str(m) for m in msgs)
+        print(line, flush=True)
+        os.makedirs(self.output_folder, exist_ok=True)
+        with open(os.path.join(self.output_folder, "training_log.txt"), "a") as f:
+            f.write(time.strftime("%Y-%m-%d %H:%M:%S ") + line + "\n")
+
+    def run_training(self):
+        self.initialize()
+        train_loader, val_loader = self.get_dataloaders()
+        self.print_to_log_file(
+            f"Training {type(self).__name__} on '{self.configuration_name}' "
+            f"fold {self.fold}: {self.num_epochs} epochs x "
+            f"{self.num_iterations_per_epoch} iters, batch {self.batch_size}"
+        )
+        with train_loader, val_loader:
+            train_it, val_it = iter(train_loader), iter(val_loader)
+            for epoch in range(self.current_epoch, self.num_epochs):
+                self.current_epoch = epoch
+                t0 = time.time()
+                losses = []
+                for _ in range(self.num_iterations_per_epoch):
+                    batch = next(train_it)
+                    self.state, metrics = self.train_step(self.state, batch)
+                    losses.append(metrics["loss"])
+                train_loss = float(np.mean([jax.device_get(l) for l in losses]))
+
+                val_losses, tps, fps, fns = [], [], [], []
+                for _ in range(self.num_val_iterations_per_epoch):
+                    vb = next(val_it)
+                    out = self.eval_step(self.state, vb)
+                    val_losses.append(out["loss"])
+                    tps.append(out["tp"])
+                    fps.append(out["fp"])
+                    fns.append(out["fn"])
+                val_loss = float(np.mean([jax.device_get(l) for l in val_losses]))
+                tp = np.sum([jax.device_get(t) for t in tps], axis=0)
+                fp = np.sum([jax.device_get(t) for t in fps], axis=0)
+                fn = np.sum([jax.device_get(t) for t in fns], axis=0)
+                dice_per_class = np.asarray(pseudo_dice(tp, fp, fn))
+                mean_dice = float(np.nanmean(dice_per_class))
+                if self.ema_pseudo_dice is None:
+                    self.ema_pseudo_dice = mean_dice
+                else:
+                    self.ema_pseudo_dice = (
+                        self.ema_decay * self.ema_pseudo_dice
+                        + (1 - self.ema_decay) * mean_dice
+                    )
+
+                epoch_time = time.time() - t0
+                self.log_history.append(
+                    {
+                        "epoch": epoch,
+                        "train_loss": train_loss,
+                        "val_loss": val_loss,
+                        "pseudo_dice": dice_per_class.tolist(),
+                        "ema_pseudo_dice": self.ema_pseudo_dice,
+                        "epoch_time_s": epoch_time,
+                    }
+                )
+                self.print_to_log_file(
+                    f"epoch {epoch}: train_loss {train_loss:.4f} "
+                    f"val_loss {val_loss:.4f} "
+                    f"pseudo_dice {np.round(dice_per_class, 4).tolist()} "
+                    f"ema {self.ema_pseudo_dice:.4f} ({epoch_time:.1f}s)"
+                )
+
+                if self._best_ema is None or self.ema_pseudo_dice > self._best_ema:
+                    self._best_ema = self.ema_pseudo_dice
+                    self.save_checkpoint("checkpoint_best.ckpt")
+                if (epoch + 1) % self.checkpoint_every == 0:
+                    self.save_checkpoint("checkpoint_latest.ckpt")
+        self.save_checkpoint("checkpoint_final.ckpt")
+        return self.state
+
+    # ------------------------------------------------------------------ #
+    # checkpointing
+    # ------------------------------------------------------------------ #
+
+    def save_checkpoint(self, name: str):
+        extra = {
+            "epoch": self.current_epoch,
+            "best_ema": self._best_ema,
+            "ema_pseudo_dice": self.ema_pseudo_dice,
+            "log_history": self.log_history,
+            "trainer": type(self).__name__,
+            "configuration": self.configuration_name,
+            "fold": self.fold,
+        }
+        save_checkpoint(os.path.join(self.output_folder, name), self.state, extra)
+
+    def load_checkpoint(self, path: str):
+        self.initialize()
+        self.state, extra = load_checkpoint(path, self.state)
+        self.current_epoch = extra.get("epoch", 0) + 1
+        self._best_ema = extra.get("best_ema")
+        self.ema_pseudo_dice = extra.get("ema_pseudo_dice")
+        self.log_history = extra.get("log_history", [])
+        return extra

@@ -1,0 +1,102 @@
+"""Fast model initialization without tracing a compiled init program.
+
+``flax``'s default jitted ``Module.init`` embeds every freshly-sampled
+parameter as a program constant, which makes XLA constant-fold the entire
+forward pass at compile time — minutes of single-threaded compile for a large
+model, for work that happens once. ``fast_init`` instead:
+
+1. runs ``jax.eval_shape(model.init, ...)`` — pure abstract tracing, no
+   compile, no execution — to get the full variable tree structure, then
+2. materializes every leaf on the host by rule:
+   - ``kernel``: He-normal, std = sqrt(2/(1+1e-2^2)/fan_in) (the reference's
+     ``InitWeights_He(1e-2)``, ``nnUNetTrainer_NexToU.py:88``), with fan-in
+     derived from the kernel rank (dense / grouped / conv),
+   - ``bias`` -> 0, ``scale`` -> 1, BatchNorm ``mean``/``var`` -> 0/1,
+   - ``constants/relative_pos_c{C}_d{D}`` -> recomputed from the metadata in
+     the name plus the leaf shape (see ``nn.graphers._rel_pos_constant``).
+
+Parameter values are deterministic in (seed, tree order).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import threading
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from nextou_tpu.nn.layers import HE_GAIN_SQ
+
+_STATE = threading.local()
+
+_REL_POS_RE = re.compile(r"^relative_pos_c(\d+)_d(\d+)$")
+
+
+def shape_only() -> bool:
+    return getattr(_STATE, "shape_only", False)
+
+
+def _he_std(shape) -> float:
+    if len(shape) == 2:  # Dense (cin, cout)
+        fan_in = shape[0]
+    elif len(shape) == 3:  # GroupedDense (g, ci, co)
+        fan_in = shape[1]
+    else:  # Conv / ConvTranspose (*k, cin, cout)
+        fan_in = math.prod(shape[:-1])
+    return (HE_GAIN_SQ / fan_in) ** 0.5
+
+
+def _materialize_leaf(path, leaf, rng: np.random.Generator):
+    name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+    collection = str(path[0].key if hasattr(path[0], "key") else path[0])
+    shape, dtype = leaf.shape, leaf.dtype
+
+    m = _REL_POS_RE.match(name)
+    if m is not None:
+        from nextou_tpu.core.pos_embed import relative_pos_bias
+
+        channels, dims = int(m.group(1)), int(m.group(2))
+        return jnp.asarray(relative_pos_bias(channels, shape[0], shape[1], dims))
+
+    if collection == "batch_stats":
+        if name == "var":
+            return jnp.ones(shape, dtype)
+        return jnp.zeros(shape, dtype)
+
+    if name == "kernel":
+        return jnp.asarray(
+            _he_std(shape) * rng.standard_normal(shape), dtype
+        )
+    if name in ("scale",):
+        return jnp.ones(shape, dtype)
+    if name in ("bias",):
+        return jnp.zeros(shape, dtype)
+    raise ValueError(f"no init rule for variable {'/'.join(map(str, path))}")
+
+
+def fast_init(
+    model: nn.Module, rngs, *args, seed: int | None = None, **kwargs
+) -> dict[str, Any]:
+    if not isinstance(rngs, dict):
+        rngs = {"params": rngs}
+    rngs.setdefault("dropout", rngs["params"])
+    rngs.setdefault("graph", rngs["params"])
+    if seed is None:
+        data = np.asarray(jax.random.key_data(rngs["params"])).ravel()
+        seed = int(data[-1])
+    _STATE.shape_only = True
+    try:
+        shapes = jax.eval_shape(
+            lambda r, *a: model.init(r, *a, **kwargs), rngs, *args
+        )
+    finally:
+        _STATE.shape_only = False
+    rng = np.random.default_rng(seed)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: _materialize_leaf(p, l, rng), shapes
+    )

@@ -1,0 +1,123 @@
+"""Unit tests for nn modules: grouped MLP, MRConv interleave, pooling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nextou_tpu.nn.layers import GroupedDense, InstanceNorm
+from nextou_tpu.nn.graph_conv import (
+    avg_pool,
+    max_pool_with_argmax,
+    max_unpool_scatter,
+    MRConv,
+)
+
+
+def test_grouped_dense_is_block_diagonal():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 7, 8)).astype(np.float32)
+    mod = GroupedDense(features=8, groups=4)
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = np.asarray(mod.apply(v, jnp.asarray(x)))
+    w = np.asarray(v["params"]["kernel"])  # (4, 2, 2)
+    b = np.asarray(v["params"]["bias"])
+    want = np.zeros_like(y)
+    for g in range(4):
+        want[..., 2 * g : 2 * g + 2] = x[..., 2 * g : 2 * g + 2] @ w[g]
+    want += b
+    np.testing.assert_allclose(y, want, atol=1e-5)
+
+
+def test_instance_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 6, 5, 4)).astype(np.float32)  # (B, H, W, C)
+    mod = InstanceNorm()
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(mod.apply(v, jnp.asarray(x)))
+    inorm = torch.nn.InstanceNorm2d(4, affine=True)
+    want = inorm(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy()
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=1e-5)
+
+
+def test_avg_pool_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 8, 14, 12, 3)).astype(np.float32)
+    got = np.asarray(avg_pool(jnp.asarray(x), 4))
+    want = (
+        torch.nn.functional.avg_pool3d(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3)), 4, 4
+        )
+        .numpy()
+        .transpose(0, 2, 3, 4, 1)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_max_pool_unpool_roundtrip_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 4, 6, 8, 3)).astype(np.float32)
+    pool = (2, 2, 2)
+    pooled, arg = max_pool_with_argmax(jnp.asarray(x), pool)
+
+    xt = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+    mp = torch.nn.MaxPool3d(pool, stride=pool, return_indices=True)
+    want_pooled, want_idx = mp(xt)
+    np.testing.assert_allclose(
+        np.asarray(pooled), want_pooled.numpy().transpose(0, 2, 3, 4, 1), atol=1e-6
+    )
+
+    # unpool with channel doubling (the PoolDyGraphConv scatter-back)
+    vals = rng.standard_normal((2, 2, 3, 4, 6)).astype(np.float32)
+    got_up = np.asarray(max_unpool_scatter(jnp.asarray(vals), arg, pool))
+    mu = torch.nn.MaxUnpool3d(pool, stride=pool)
+    idx_cat = torch.cat([want_idx, want_idx], dim=1)
+    want_up = mu(
+        torch.from_numpy(vals.transpose(0, 4, 1, 2, 3)), idx_cat
+    ).numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(got_up, want_up, atol=1e-6)
+
+
+def test_max_pool_partial_axes():
+    # pool only even axes (reference pools 2 per even axis)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 4, 7, 6, 2)).astype(np.float32)
+    pooled, arg = max_pool_with_argmax(jnp.asarray(x), (2, 1, 2))
+    assert pooled.shape == (1, 2, 7, 3, 2)
+    # max over the correct window
+    want = x.reshape(1, 2, 2, 7, 3, 2, 2).max(axis=(2, 5))
+    np.testing.assert_allclose(np.asarray(pooled), want, atol=1e-6)
+
+
+def test_mrconv_interleave_semantics():
+    """The grouped conv input must be channel-interleaved [x0, m0, x1, m1...]
+    (reference NexToU_Encoder_Decoder.py:409)."""
+    rng = np.random.default_rng(5)
+    B, N, C, k = 1, 6, 4, 3
+    x = rng.standard_normal((B, N, C)).astype(np.float32)
+    idx = rng.integers(0, N, (B, N, k))
+    mod = MRConv(out_features=2 * C, act_name="none", norm=None, groups=2 * C)
+    v = mod.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(idx), train=False
+    )
+    # with groups == channels, each output channel sees exactly one input
+    # channel: out[2c] <- x[c], out[2c+1] <- maxrel[c]
+    w = np.asarray(v["params"]["nn"]["dense_0"]["kernel"])  # (2C, 1, 1)
+    b = np.asarray(v["params"]["nn"]["dense_0"]["bias"])
+    got = np.asarray(
+        mod.apply(v, jnp.asarray(x), jnp.asarray(idx), train=False)
+    )
+    xj = x[0][idx[0]]  # (N, k, C)
+    maxrel = (xj - x[0][:, None, :]).max(1)
+    for c in range(C):
+        np.testing.assert_allclose(
+            got[0, :, 2 * c], x[0, :, c] * w[2 * c, 0, 0] + b[2 * c], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            got[0, :, 2 * c + 1],
+            maxrel[:, c] * w[2 * c + 1, 0, 0] + b[2 * c + 1],
+            atol=1e-5,
+        )
