@@ -1,0 +1,81 @@
+"""Benchmark: flagship 3d_fullres_nextou forward throughput (patches/sec/chip).
+
+Workload = the north-star metric's unit of work (BASELINE.json): one
+sliding-window inference tile of 64x224x192 through the full NexToU
+(3d_fullres_nextou architecture, 14 classes), bf16 compute, single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is value / A100_REFERENCE_EST. The reference publishes no
+throughput numbers (SURVEY.md §6); A100_REFERENCE_EST is a provisional
+estimate of the PyTorch reference's fp16 forward throughput on A100 for the
+same tile (to be replaced by a measured number when an A100 measurement of
+the torch reference is available).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+A100_REFERENCE_EST = 6.0  # patches/s, provisional (see module docstring)
+
+BATCH = 2
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    from nextou_tpu.models import NexToU
+    from nextou_tpu.models.presets import flagship_3d_spec
+    from nextou_tpu.utils import fast_init
+
+    t0 = time.perf_counter()
+    spec = flagship_3d_spec(deep_supervision=False)
+    model = NexToU(spec=spec, dtype=jnp.bfloat16)
+    x = jnp.zeros((BATCH, *spec.patch_size, spec.in_channels), jnp.bfloat16)
+    variables = fast_init(model, jax.random.PRNGKey(0), x, train=False)
+    _log(f"init done in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    variables = jax.device_put(variables)
+    jax.block_until_ready(variables)
+    _log(f"device_put done in {time.perf_counter() - t0:.1f}s")
+
+    @jax.jit
+    def fwd(v, x):
+        return model.apply(v, x, train=False)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(WARMUP):
+        out = fwd(variables, x)
+    jax.block_until_ready(out)
+    _log(f"compile+warmup done in {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fwd(variables, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "3d_fullres_nextou fwd patches/sec/chip (64x224x192, bf16)",
+                "value": round(patches_per_sec, 3),
+                "unit": "patches/s",
+                "vs_baseline": round(patches_per_sec / A100_REFERENCE_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,11 @@ def get_3d_relative_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
     return 2.0 * (e @ e.T) / e.shape[1]
 
 
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=64)
 def relative_pos_bias(
     channels: int, n: int, n_reduced: int, spatial_dims: int
 ) -> np.ndarray:
@@ -71,8 +76,25 @@ def relative_pos_bias(
     ``(n, n_reduced)`` and negates (``:742``), so that spatially-close node
     pairs receive a *lower* effective distance during top-k selection.
 
+    Compute is fp32 past the sin-cos stage (the reference casts to fp32
+    before its bicubic interpolate too). Results are memoized in-process and
+    on disk (encoder/decoder stages share identical tables; the big flagship
+    tables cost ~10s each to build on one host core).
+
     Returns float32 ``(n, n_reduced)``.
     """
+    cache_dir = os.environ.get(
+        "NEXTOU_CACHE_DIR", os.path.expanduser("~/.cache/nextou_tpu")
+    )
+    cache_path = os.path.join(
+        cache_dir, f"relpos_c{channels}_n{n}_r{n_reduced}_d{spatial_dims}.npy"
+    )
+    if os.path.exists(cache_path):
+        try:
+            return np.load(cache_path)
+        except Exception:
+            pass
+
     if spatial_dims == 2:
         grid = int(n ** (1.0 / 2.0))
         rel = get_2d_relative_pos_embed(channels, grid).astype(np.float32)
@@ -81,5 +103,14 @@ def relative_pos_bias(
         rel = get_3d_relative_pos_embed(channels, grid).astype(np.float32)
     else:
         raise ValueError(f"spatial_dims must be 2 or 3, got {spatial_dims}")
-    rel = bicubic_resize_2d(rel.astype(np.float64), (n, n_reduced))
-    return (-rel).astype(np.float32)
+    rel = bicubic_resize_2d(rel, (n, n_reduced), dtype=np.float32)
+    out = (-rel).astype(np.float32)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:  # np.save would append '.npy' to the name
+            np.save(f, out)
+        os.replace(tmp, cache_path)
+    except OSError:
+        pass
+    return out

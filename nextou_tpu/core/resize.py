@@ -35,7 +35,9 @@ def _cubic_weights(t: np.ndarray) -> np.ndarray:
     return np.stack([w2(t + 1.0), w1(t), w1(1.0 - t), w2(2.0 - t)], axis=-1)
 
 
-def _resize_axis(x: np.ndarray, out_size: int, axis: int) -> np.ndarray:
+def _resize_axis(
+    x: np.ndarray, out_size: int, axis: int, chunk: int = 512
+) -> np.ndarray:
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
@@ -45,15 +47,25 @@ def _resize_axis(x: np.ndarray, out_size: int, axis: int) -> np.ndarray:
     src = (dst + 0.5) * scale - 0.5
     i0 = np.floor(src).astype(np.int64)
     t = src - i0
-    w = _cubic_weights(t)  # (out, 4)
+    w = _cubic_weights(t).astype(x.dtype)  # (out, 4)
     taps = np.clip(i0[:, None] + np.array([-1, 0, 1, 2]), 0, in_size - 1)
-    out = np.einsum("ot,ot...->o...", w, x[taps])
+    # chunk the output rows: x[taps] materializes (chunk, 4, *rest) only
+    out = np.empty((out_size,) + x.shape[1:], dtype=x.dtype)
+    for s in range(0, out_size, chunk):
+        e = min(s + chunk, out_size)
+        out[s:e] = np.einsum("ot,ot...->o...", w[s:e], x[taps[s:e]])
     return np.moveaxis(out, 0, axis)
 
 
-def bicubic_resize_2d(x: np.ndarray, out_shape: tuple[int, int]) -> np.ndarray:
-    """Separable bicubic resize of the last two axes of ``x``."""
-    x = np.asarray(x, dtype=np.float64)
+def bicubic_resize_2d(
+    x: np.ndarray, out_shape: tuple[int, int], dtype=np.float64
+) -> np.ndarray:
+    """Separable bicubic resize of the last two axes of ``x``.
+
+    ``dtype`` sets the compute precision: fp32 matches torch's fp32
+    interpolate (what the reference runs); fp64 for oracle comparisons.
+    """
+    x = np.asarray(x, dtype=dtype)
     x = _resize_axis(x, out_shape[0], x.ndim - 2)
     x = _resize_axis(x, out_shape[1], x.ndim - 1)
     return x

@@ -1,0 +1,91 @@
+"""CLI + API: full-volume prediction from a trained checkpoint.
+
+The substrate's ``predict_from_raw_data`` equivalent (SURVEY.md §3.4):
+sliding-window tiles (step 0.5 x patch), mirroring TTA over the trainer's
+``inference_allowed_mirroring_axes``, Gaussian-weighted softmax accumulation,
+argmax. Deep supervision is disabled at inference; the checkpoint's params
+load unchanged because all seg heads are always built.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_predictor(trainer, tile_batch: int = 2):
+    """From an initialized trainer (checkpoint loaded), build a function
+    ``(data (*sp, C) float32) -> probs (*sp, num_classes)``."""
+    from nextou_tpu.infer import make_tile_predictor, sliding_window_predict
+    from nextou_tpu.models import NexToU
+    import dataclasses
+
+    spec = dataclasses.replace(trainer.model_spec, deep_supervision=False)
+    model = NexToU(spec=spec, dtype=trainer.compute_dtype, remat=False)
+    variables = jax.device_get(trainer.state.model_variables())
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
+
+    tile_pred = make_tile_predictor(
+        apply_fn, trainer.inference_allowed_mirroring_axes
+    )
+    patch = spec.patch_size
+    ncls = spec.num_classes
+
+    def predict(data: np.ndarray) -> np.ndarray:
+        return sliding_window_predict(
+            tile_pred, data, patch, ncls, tile_batch=tile_batch
+        )
+
+    return predict
+
+
+def predict_case(trainer, data_chw: np.ndarray, tile_batch: int = 2) -> np.ndarray:
+    """data (C, *sp) preprocessed -> argmax segmentation (*sp) int16."""
+    predictor = build_predictor(trainer, tile_batch)
+    probs = predictor(np.moveaxis(data_chw, 0, -1))
+    return np.argmax(probs, axis=-1).astype(np.int16)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("model_folder", help="trainer output folder with checkpoints")
+    ap.add_argument("dataset_folder", help="preprocessed dataset folder")
+    ap.add_argument("configuration")
+    ap.add_argument("-tr", "--trainer", default="nnUNetTrainer_NexToU")
+    ap.add_argument("-chk", default="checkpoint_final.ckpt")
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--cases", nargs="*", default=None)
+    args = ap.parse_args(argv)
+
+    from nextou_tpu.data import PreprocessedDataset
+    from nextou_tpu.plans.loader import load_dataset_json
+    from nextou_tpu.train import get_trainer_class
+
+    dataset_json = load_dataset_json(args.dataset_folder)
+    plans_path = os.path.join(args.dataset_folder, "nnUNetPlans.json")
+    cls = get_trainer_class(args.trainer)
+    trainer = cls(
+        plans_path, args.configuration, 0, dataset_json,
+        preprocessed_folder=args.dataset_folder, output_folder=args.model_folder,
+    )
+    trainer.load_checkpoint(os.path.join(args.model_folder, args.chk))
+
+    ds = PreprocessedDataset(args.dataset_folder, args.cases)
+    os.makedirs(args.output, exist_ok=True)
+    predictor = build_predictor(trainer)
+    for cid in ds.case_ids:
+        case = ds.load(cid)
+        probs = predictor(np.moveaxis(case.data, 0, -1))
+        seg = np.argmax(probs, axis=-1).astype(np.int16)
+        np.savez_compressed(os.path.join(args.output, f"{cid}.npz"), seg=seg)
+        print(f"predicted {cid}: {seg.shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""CLI: train a model.
+
+Mirrors the reference's entry
+``nnUNetv2_train DATASET CONFIG FOLD -tr TRAINER`` (``README.md:81-92``):
+
+    python -m nextou_tpu.run_training DATASET_FOLDER CONFIG FOLD \
+        -tr nnUNetTrainer_NexToU_BTI_Synapse [-p plans.json] [--c]
+
+DATASET_FOLDER must contain preprocessed ``.npz`` cases plus ``dataset.json``
+and (unless -p overrides) ``nnUNetPlans.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset_folder", help="preprocessed dataset folder")
+    ap.add_argument("configuration", help="e.g. 3d_fullres_nextou")
+    ap.add_argument("fold", help="0-4 or 'all'")
+    ap.add_argument("-tr", "--trainer", default="nnUNetTrainer_NexToU")
+    ap.add_argument("-p", "--plans", default=None, help="plans json path")
+    ap.add_argument("-o", "--output", default=None, help="output folder")
+    ap.add_argument("--c", "--continue", dest="resume", action="store_true",
+                    help="resume from checkpoint_latest")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from nextou_tpu.plans.loader import load_dataset_json
+    from nextou_tpu.train import get_trainer_class
+
+    plans_path = args.plans or os.path.join(args.dataset_folder, "nnUNetPlans.json")
+    dataset_json = load_dataset_json(args.dataset_folder)
+    fold = args.fold if args.fold == "all" else int(args.fold)
+    output = args.output or os.path.join(
+        args.dataset_folder,
+        f"{args.trainer}__{args.configuration}__fold_{fold}",
+    )
+
+    cls = get_trainer_class(args.trainer)
+    trainer = cls(
+        plans_path,
+        args.configuration,
+        fold,
+        dataset_json,
+        preprocessed_folder=args.dataset_folder,
+        output_folder=output,
+        num_epochs=args.epochs,
+        num_iterations_per_epoch=args.iters,
+        batch_size=args.batch_size,
+    )
+    latest = os.path.join(output, "checkpoint_latest.ckpt")
+    if args.resume and os.path.exists(latest):
+        trainer.load_checkpoint(latest)
+    trainer.run_training()
+
+
+if __name__ == "__main__":
+    main()

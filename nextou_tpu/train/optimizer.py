@@ -20,8 +20,12 @@ def poly_lr(
     """PolyLR keyed on epoch (= step // steps_per_epoch), like nnU-Net."""
 
     def schedule(step):
+        import jax.numpy as jnp
+
         epoch = step // steps_per_epoch
-        frac = 1.0 - epoch / max_steps
+        # clamp at 0: training past max_steps must not produce a negative
+        # base (fractional power of a negative is NaN)
+        frac = jnp.maximum(1.0 - epoch / max_steps, 0.0)
         return initial_lr * (frac**exponent)
 
     return schedule

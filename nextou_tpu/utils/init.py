@@ -56,26 +56,27 @@ def _materialize_leaf(path, leaf, rng: np.random.Generator):
     collection = str(path[0].key if hasattr(path[0], "key") else path[0])
     shape, dtype = leaf.shape, leaf.dtype
 
+    # NOTE: leaves are host numpy arrays — transfer to device happens in one
+    # device_put of the whole tree (or lazily on first use), not one RPC per
+    # parameter (matters when the accelerator is reached through a tunnel).
     m = _REL_POS_RE.match(name)
     if m is not None:
         from nextou_tpu.core.pos_embed import relative_pos_bias
 
         channels, dims = int(m.group(1)), int(m.group(2))
-        return jnp.asarray(relative_pos_bias(channels, shape[0], shape[1], dims))
+        return relative_pos_bias(channels, shape[0], shape[1], dims)
 
     if collection == "batch_stats":
         if name == "var":
-            return jnp.ones(shape, dtype)
-        return jnp.zeros(shape, dtype)
+            return np.ones(shape, dtype)
+        return np.zeros(shape, dtype)
 
     if name == "kernel":
-        return jnp.asarray(
-            _he_std(shape) * rng.standard_normal(shape), dtype
-        )
+        return (_he_std(shape) * rng.standard_normal(shape)).astype(dtype)
     if name in ("scale",):
-        return jnp.ones(shape, dtype)
+        return np.ones(shape, dtype)
     if name in ("bias",):
-        return jnp.zeros(shape, dtype)
+        return np.zeros(shape, dtype)
     raise ValueError(f"no init rule for variable {'/'.join(map(str, path))}")
 
 

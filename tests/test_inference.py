@@ -1,0 +1,89 @@
+"""Sliding-window inference vs full-volume oracle; TTA equivariance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nextou_tpu.infer import (
+    compute_sliding_window_steps,
+    gaussian_importance_map,
+    make_tile_predictor,
+    sliding_window_predict,
+)
+
+
+def test_steps_cover_volume():
+    steps = compute_sliding_window_steps((100, 64), (32, 32), 0.5)
+    for axis, (img, patch) in zip(steps, [(100, 32), (64, 32)]):
+        assert axis[0] == 0
+        assert axis[-1] == img - patch  # ends aligned
+        diffs = np.diff(axis)
+        assert (diffs <= patch * 0.5 + 1).all()  # >= 50% overlap
+
+
+def test_gaussian_map_properties():
+    g = gaussian_importance_map((16, 24))
+    assert g.shape == (16, 24)
+    assert g.max() == 1.0
+    assert (g > 0).all()
+    # peak near center
+    assert g[7:9, 11:13].max() == 1.0
+
+
+def test_sliding_window_equals_oracle_for_linear_model():
+    """With a voxelwise (1x1-conv-like) model, blended sliding window must
+    reproduce the full-volume prediction exactly."""
+    num_classes = 3
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((2, num_classes)), jnp.float32)
+
+    def apply_fn(x):  # (B, *sp, 2) -> logits
+        return x @ w
+
+    pred = make_tile_predictor(apply_fn, mirror_axes=None)
+    data = np.random.default_rng(1).standard_normal((40, 52, 2)).astype(np.float32)
+    probs = sliding_window_predict(pred, data, (16, 16), num_classes, tile_batch=3)
+    want = np.asarray(jax.nn.softmax(jnp.asarray(data) @ w, axis=-1))
+    np.testing.assert_allclose(probs, want, atol=1e-4)
+
+
+def test_small_volume_padding():
+    num_classes = 2
+    w = jnp.asarray([[1.0, -1.0]], jnp.float32)
+
+    def apply_fn(x):
+        return x @ w
+
+    pred = make_tile_predictor(apply_fn, mirror_axes=None)
+    data = np.random.default_rng(2).standard_normal((10, 12, 1)).astype(np.float32)
+    probs = sliding_window_predict(pred, data, (16, 16), num_classes)
+    assert probs.shape == (10, 12, 2)
+    want = np.asarray(jax.nn.softmax(jnp.asarray(data) @ w, axis=-1))
+    np.testing.assert_allclose(probs, want, atol=1e-4)
+
+
+def test_tta_mirror_averaging():
+    """For a mirror-equivariant model the TTA average equals the plain
+    prediction; for an asymmetric one it must equal the explicit average."""
+    num_classes = 2
+    rng = np.random.default_rng(3)
+    # asymmetric "model": logits depend on position via fixed bias field
+    bias = jnp.asarray(rng.standard_normal((8, 8, num_classes)), jnp.float32)
+
+    def apply_fn(x):
+        return x @ jnp.ones((1, num_classes)) + bias
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 1)), jnp.float32)
+    pred = make_tile_predictor(apply_fn, mirror_axes=(0, 1))
+    got = np.asarray(pred(x))[0]
+
+    total = np.zeros((8, 8, num_classes), np.float32)
+    import itertools
+
+    for combo in [(), (0,), (1,), (0, 1)]:
+        dims = tuple(a + 1 for a in combo)
+        xf = jnp.flip(x, dims) if combo else x
+        logits = apply_fn(xf)
+        if combo:
+            logits = jnp.flip(logits, dims)
+        total += np.asarray(jax.nn.softmax(logits, -1))[0]
+    np.testing.assert_allclose(got, total / 4, atol=1e-5)

@@ -1,0 +1,154 @@
+"""End-to-end integration: synthetic dataset -> few-step training -> loss
+decreases; checkpoint round-trip; trainer registry surface."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nextou_tpu.data import make_synthetic_dataset
+from nextou_tpu.train import get_trainer_class, TRAINER_REGISTRY
+
+
+TINY_PLANS = {
+    "dataset_name": "Dataset999_Synth",
+    "plans_name": "nnUNetPlans",
+    "configurations": {
+        "2d_tiny": {
+            # 5 stages: a 4-stage net would put the first reduce_ratio=16
+            # PoolGNN at stage 0 where the candidate set collapses (the
+            # reference has the same constraint: its configs have >= 5 stages)
+            "batch_size": 2,
+            "patch_size": [64, 64],
+            "spacing": [1.0, 1.0],
+            "normalization_schemes": ["ZScoreNormalization"],
+            "use_mask_for_norm": [False],
+            "UNet_class_name": "PlainConvUNet",
+            "UNet_base_num_features": 8,
+            "unet_max_num_features": 16,
+            "n_conv_per_stage_encoder": [2, 2, 2, 2, 2],
+            "n_conv_per_stage_decoder": [2, 2, 2, 2],
+            "pool_op_kernel_sizes": [[1, 1], [2, 2], [2, 2], [2, 2], [2, 2]],
+            "conv_kernel_sizes": [[3, 3]] * 5,
+            "batch_dice": True,
+        }
+    },
+}
+
+DATASET_JSON = {
+    "labels": {"background": 0, "a": 1, "b": 2},
+    "numTraining": 6,
+    "channel_names": {"0": "img"},
+}
+
+
+@pytest.fixture(scope="module")
+def synth_folder(tmp_path_factory):
+    folder = str(tmp_path_factory.mktemp("synth"))
+    make_synthetic_dataset(folder, n_cases=6, shape=(64, 64), num_classes=3)
+    return folder
+
+
+def _make_trainer(name, folder, out, **kw):
+    cls = get_trainer_class(name)
+    kwargs = dict(
+        compute_dtype=jnp.float32,
+        remat=False,
+        num_epochs=2,
+        num_iterations_per_epoch=8,
+        num_val_iterations_per_epoch=2,
+    )
+    kwargs.update(kw)
+    return cls(
+        TINY_PLANS,
+        "2d_tiny",
+        fold=0,
+        dataset_json=DATASET_JSON,
+        preprocessed_folder=folder,
+        output_folder=out,
+        **kwargs,
+    )
+
+
+def test_registry_has_all_reference_names():
+    for name in [
+        "nnUNetTrainer_NexToU",
+        "nnUNetTrainer_NexToU_NoMirroring",
+        "nnUNetTrainer_NexToU_TI",
+        "nnUNetTrainer_NexToU_TI_NoMirroring",
+        "nnUNetTrainer_NexToU_BTI_Synapse",
+        "nnUNetTrainer_NexToU_BTI_RAVIR",
+        "nnUNetTrainer_NexToU_BTI_ICA_NoMirroring",
+    ]:
+        assert name in TRAINER_REGISTRY
+
+
+def test_training_loss_decreases(synth_folder, tmp_path):
+    trainer = _make_trainer(
+        "nnUNetTrainer_NexToU_BTI_RAVIR", synth_folder, str(tmp_path / "out"),
+        num_epochs=5,  # keep the PolyLR positive for all 30 steps below
+    )
+    trainer.initialize()
+    # BTI trainer in 2D -> lambda 1e-4, connectivity 8
+    assert trainer.loss_spec.weight_ti == 1e-4
+    assert trainer.loss_spec.ti.connectivity == 8
+    assert trainer.loss_spec.ti.interactions == ((False, (1,), (2,)),)
+
+    train_loader, _ = trainer.get_dataloaders()
+    with train_loader:
+        it = iter(train_loader)
+        losses = []
+        for _ in range(30):
+            batch = next(it)
+            trainer.state, m = trainer.train_step(trainer.state, batch)
+            losses.append(float(m["loss"]))
+    # robust decrease check: last-5 mean well below first-5 mean
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.1, losses
+
+
+def test_run_training_and_checkpoints(synth_folder, tmp_path):
+    out = str(tmp_path / "out2")
+    trainer = _make_trainer("nnUNetTrainer_NexToU", synth_folder, out,
+                            num_epochs=1, num_iterations_per_epoch=3,
+                            num_val_iterations_per_epoch=1)
+    trainer.checkpoint_every = 1
+    trainer.run_training()
+    assert os.path.exists(os.path.join(out, "checkpoint_final.ckpt"))
+    assert os.path.exists(os.path.join(out, "checkpoint_latest.ckpt"))
+    assert os.path.exists(os.path.join(out, "checkpoint_best.ckpt"))
+    assert len(trainer.log_history) == 1
+
+    # round-trip
+    t2 = _make_trainer("nnUNetTrainer_NexToU", synth_folder, out,
+                       num_epochs=1, num_iterations_per_epoch=3,
+                       num_val_iterations_per_epoch=1)
+    extra = t2.load_checkpoint(os.path.join(out, "checkpoint_final.ckpt"))
+    assert extra["trainer"] == "nnUNetTrainer_NexToU"
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_no_mirroring_trainer_config(synth_folder, tmp_path):
+    trainer = _make_trainer(
+        "nnUNetTrainer_NexToU_NoMirroring", synth_folder, str(tmp_path / "o3")
+    )
+    assert trainer.configure_mirroring() == ()
+    assert trainer.inference_allowed_mirroring_axes is None
+    base = _make_trainer("nnUNetTrainer_NexToU", synth_folder, str(tmp_path / "o4"))
+    assert base.configure_mirroring() == (0, 1)
+    assert base.inference_allowed_mirroring_axes == (0, 1)
+
+
+def test_ti_trainer_all_pairs(synth_folder, tmp_path):
+    trainer = _make_trainer(
+        "nnUNetTrainer_NexToU_TI", synth_folder, str(tmp_path / "o5")
+    )
+    spec = trainer._loss_spec()
+    # labels {0,1,2} -> fg pairs: (1,2)
+    assert spec.ti.interactions == ((False, (1,), (2,)),)
+    assert spec.weight_ti == 1e-4  # 2D
