@@ -47,24 +47,21 @@ def main():
     jax.block_until_ready(variables)
     _log(f"device_put done in {time.perf_counter() - t0:.1f}s")
 
-    @jax.jit
-    def fwd(v, x):
-        return model.apply(v, x, train=False)
+    from nextou_tpu.utils.timing import device_loop_time
 
-    # warmup / compile
+    # in-device loop timing: wall-clocking repeated dispatches is unreliable
+    # through tunneled PJRT transports (block_until_ready may not block)
     t0 = time.perf_counter()
-    for _ in range(WARMUP):
-        out = fwd(variables, x)
-    jax.block_until_ready(out)
-    _log(f"compile+warmup done in {time.perf_counter() - t0:.1f}s")
+    dt = device_loop_time(
+        lambda x: model.apply(variables, x, train=False),
+        x,
+        n_small=1,
+        n_large=9,
+        repeats=2,
+    )
+    _log(f"measured in {time.perf_counter() - t0:.1f}s -> {dt*1e3:.1f} ms/step")
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fwd(variables, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    patches_per_sec = BATCH * ITERS / dt
+    patches_per_sec = BATCH / dt
     print(
         json.dumps(
             {

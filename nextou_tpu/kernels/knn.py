@@ -1,0 +1,173 @@
+"""Fused kNN + neighbor-max Pallas TPU kernel.
+
+The hot op of every grapher is: L2-normalize features, squared-distance
+matrix (+ relative-pos bias), top-k selection, gather the k neighbor rows,
+max-reduce them (reference ``torch_edge.py:58-90`` + ``torch_nn.py:94-115``
++ the max in ``NexToU_Encoder_Decoder.py:407``). Because MRConv's
+aggregation is ``max_j(x_j - x_i) = (max_j x_j) - x_i``, the kernel never
+needs per-edge tensors or even the indices — it returns, per query node, the
+per-channel max over its k selected neighbors.
+
+Why a kernel: XLA's ``lax.top_k`` at NexToU's shapes costs ~14 ms (full sort
+machinery) and the (B, N, k, C) gather materializes hundreds of MB in HBM.
+This kernel keeps the distance tile in VMEM, does k rounds of
+min-extraction (VPU) and selects each winner row with a one-hot MXU matmul —
+the distance matrix, indices, and gathered neighbors never touch HBM.
+
+Semantics notes:
+- ties break to the lowest index (same as ``torch.topk``/``lax.top_k``),
+- the row-block padding added by Pallas is masked with +inf distances so
+  padded columns are never selected,
+- only dilation == 1 is fused (always true for <= 8-stage NexToU configs,
+  SURVEY.md §2.3); callers fall back to the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nextou_tpu.core.graph import _l2_normalize, dense_knn, batched_index_select
+
+
+def _kernel(x_ref, yn_ref, yv_ref, rel_ref, out_ref, *, k: int, m_valid: int):
+    """One (TILE_N, C) query tile against all M candidates.
+
+    x_ref:  (TILE_N, C) normalized queries (f32)
+    yn_ref: (M, C) normalized candidates (f32)
+    yv_ref: (M, C) raw candidate values (f32)
+    rel_ref: (TILE_N, M) additive distance bias (f32) or all-zeros
+    out_ref: (TILE_N, C) per-channel max over the k nearest candidates
+    """
+    x = x_ref[0]  # blocks carry a leading batch dim of 1
+    yn = yn_ref[0]
+    yv = yv_ref[0]
+    tile_n = x.shape[0]
+    m = yn.shape[0]
+
+    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (TILE_N, 1)
+    y_sq = jnp.sum(yn * yn, axis=-1, keepdims=True)  # (M, 1)
+    inner = jnp.dot(x, yn.T, preferred_element_type=jnp.float32)
+    dist = x_sq - 2.0 * inner + y_sq.T + rel_ref[:]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, m), 1)
+    # mask out candidate padding (Pallas pads the block to tile multiples)
+    dist = jnp.where(col < m_valid, dist, jnp.inf)
+
+    big = jnp.float32(jnp.inf)
+    maxy = jnp.full((tile_n, x.shape[1]), -big, jnp.float32)
+
+    def body(j, carry):
+        dist, maxy = carry
+        mins = jnp.min(dist, axis=-1, keepdims=True)  # (TILE_N, 1)
+        # first-occurrence argmin via index-min over matching columns
+        amin = jnp.min(
+            jnp.where(dist == mins, col, m), axis=-1, keepdims=True
+        )  # (TILE_N, 1)
+        onehot = (col == amin).astype(jnp.float32)
+        # winner rows via MXU: (TILE_N, M) @ (M, C)
+        sel = jnp.dot(onehot, yv, preferred_element_type=jnp.float32)
+        maxy = jnp.maximum(maxy, sel)
+        dist = jnp.where(col == amin, big, dist)
+        return dist, maxy
+
+    _, maxy = jax.lax.fori_loop(0, k, body, (dist, maxy))
+    out_ref[0] = maxy
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "interpret")
+)
+def _knn_max_pallas(xn, yn, yv, rel, *, k, tile_n, interpret):
+    B, N, C = xn.shape
+    M = yn.shape[1]
+    grid = (B, pl.cdiv(N, tile_n))
+
+    kernel = functools.partial(_kernel, k=k, m_valid=M)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_n, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, M), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        interpret=interpret,
+    )(xn, yn, yv, rel)
+    return out
+
+
+def knn_max_neighbors_reference(
+    x: jax.Array,
+    k: int,
+    y: jax.Array | None = None,
+    relative_pos: jax.Array | None = None,
+) -> jax.Array:
+    """Pure-XLA fallback: normalize, kNN, gather, max over neighbors."""
+    xn = _l2_normalize(x.astype(jnp.float32), axis=-1)
+    yn = xn if y is None else _l2_normalize(y.astype(jnp.float32), axis=-1)
+    idx = dense_knn(xn, k, y=None if y is None else yn, relative_pos=relative_pos)
+    vals = x if y is None else y
+    return jnp.max(batched_index_select(vals, idx), axis=2)
+
+
+def knn_max_neighbors(
+    x: jax.Array,
+    k: int,
+    y: jax.Array | None = None,
+    relative_pos: jax.Array | None = None,
+    *,
+    tile_n: int = 256,
+) -> jax.Array:
+    """Per-channel max over the k nearest neighbors of each node.
+
+    Args:
+        x: (B, N, C) query/node features (raw; normalization is internal).
+        y: optional (B, M, C) candidate set (raw); defaults to ``x``.
+        relative_pos: optional (N, M) additive distance bias.
+    Returns:
+        (B, N, C) in x.dtype.
+    """
+    B, N, C = x.shape
+    vals = x if y is None else y
+    M = vals.shape[1]
+    platform = jax.devices()[0].platform
+    interpret = platform != "tpu"
+
+    # VMEM budget check (f32): y tiles + dist + x/out tiles
+    tile = min(tile_n, _round_up(N, 8))
+    vmem = (2 * M * C + tile * M + 2 * tile * C) * 4
+    if interpret and (N * M > 1 << 22):
+        # interpreter mode is slow; don't run huge shapes off-TPU
+        return knn_max_neighbors_reference(x, k, y, relative_pos)
+    if vmem > 12 * 1024 * 1024 or k > M:
+        return knn_max_neighbors_reference(x, k, y, relative_pos)
+
+    xn = _l2_normalize(x.astype(jnp.float32), axis=-1)
+    yn = xn if y is None else _l2_normalize(y.astype(jnp.float32), axis=-1)
+    if relative_pos is None:
+        rel = jnp.zeros((N, M), jnp.float32)
+    else:
+        rel = jnp.broadcast_to(relative_pos.astype(jnp.float32), (N, M))
+    out = _knn_max_pallas(
+        xn, yn, vals.astype(jnp.float32), rel, k=k, tile_n=tile,
+        interpret=interpret,
+    )
+    return out.astype(x.dtype)

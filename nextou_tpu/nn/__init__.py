@@ -7,4 +7,4 @@ from nextou_tpu.nn.layers import (
 )
 from nextou_tpu.nn.conv_blocks import ConvNormAct, StackedConvBlocks
 from nextou_tpu.nn.graph_conv import MRConv, DyGraphConv, PoolDyGraphConv
-from nextou_tpu.nn.graphers import FFN, SwinGrapher, PoolGrapher
+from nextou_tpu.nn.graphers import FFN, Grapher, SwinGrapher, PoolGrapher

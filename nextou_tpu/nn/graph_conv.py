@@ -107,7 +107,13 @@ def max_unpool_scatter(
 
 
 class MRConv(nn.Module):
-    """Max-Relative graph conv on node tensors (B, N, C)."""
+    """Max-Relative graph conv on node tensors (B, N, C).
+
+    Accepts either neighbor indices (``nn_idx``, the XLA gather path) or a
+    precomputed per-channel neighbor max (``max_neighbors``, the fused Pallas
+    path) — the two are equivalent because
+    ``max_j(x_j - x_i) = (max_j x_j) - x_i``.
+    """
 
     out_features: int
     act_name: str = "relu"
@@ -120,14 +126,18 @@ class MRConv(nn.Module):
     def __call__(
         self,
         x: jax.Array,
-        nn_idx: jax.Array,
+        nn_idx: jax.Array | None = None,
         y: jax.Array | None = None,
         *,
+        max_neighbors: jax.Array | None = None,
         train: bool,
     ) -> jax.Array:
         B, N, C = x.shape
-        x_j = batched_index_select(x if y is None else y, nn_idx)
-        maxrel = jnp.max(x_j - x[:, :, None, :], axis=2)
+        if max_neighbors is not None:
+            maxrel = max_neighbors - x
+        else:
+            x_j = batched_index_select(x if y is None else y, nn_idx)
+            maxrel = jnp.max(x_j - x[:, :, None, :], axis=2)
         # interleave [x_0, m_0, x_1, m_1, ...] (reference :409)
         h = jnp.stack([x, maxrel], axis=-1).reshape(B, N, 2 * C)
         return GroupedMLP(
@@ -139,6 +149,46 @@ class MRConv(nn.Module):
             dtype=self.dtype,
             name="nn",
         )(h, train=train)
+
+
+def _mrconv_aggregate(mod, x_nodes, y_nodes, relative_pos, train):
+    """Shared Dy/Pool graph-conv body: build the kNN graph and apply MRConv.
+
+    Uses the fused Pallas kNN+max kernel when exact (dilation == 1 — always
+    true for <= 8-stage NexToU configs; the stochastic shuffle is a no-op
+    there because MRConv's max is permutation-invariant). Falls back to the
+    XLA top_k + gather path otherwise.
+    """
+    from nextou_tpu.kernels import knn_max_neighbors
+
+    mrconv = MRConv(
+        out_features=mod.out_features,
+        act_name=mod.act_name,
+        norm=mod.norm,
+        use_bias=mod.use_bias,
+        groups=mod.groups,
+        dtype=mod.dtype,
+        name="gconv",
+    )
+    if mod.fused and mod.dilation == 1:
+        maxy = knn_max_neighbors(
+            x_nodes, mod.k, y=y_nodes, relative_pos=relative_pos
+        )
+        return mrconv(x_nodes, None, y_nodes, max_neighbors=maxy, train=train)
+
+    use_stoch = mod.stochastic and train and mod.dilation > 1
+    rng = mod.make_rng("graph") if use_stoch else None
+    nn_idx = dilated_knn_graph(
+        x_nodes,
+        mod.k,
+        dilation=mod.dilation,
+        y=y_nodes,
+        relative_pos=relative_pos,
+        stochastic=use_stoch,
+        epsilon=mod.epsilon,
+        rng=rng,
+    )
+    return mrconv(x_nodes, nn_idx, y_nodes, train=train)
 
 
 class DyGraphConv(nn.Module):
@@ -154,6 +204,7 @@ class DyGraphConv(nn.Module):
     stochastic: bool = False
     epsilon: float = 0.0
     groups: int = 1
+    fused: bool = True  # fused Pallas kNN+max path (exact when dilation == 1)
     dtype: Any = None
 
     @nn.compact
@@ -167,27 +218,7 @@ class DyGraphConv(nn.Module):
         y_nodes = None
         if self.reduce_ratio > 1:
             y_nodes = avg_pool(x, self.reduce_ratio).reshape(B, -1, C)
-        use_stoch = self.stochastic and train and self.dilation > 1
-        rng = self.make_rng("graph") if use_stoch else None
-        nn_idx = dilated_knn_graph(
-            x_nodes,
-            self.k,
-            dilation=self.dilation,
-            y=y_nodes,
-            relative_pos=relative_pos,
-            stochastic=use_stoch,
-            epsilon=self.epsilon,
-            rng=rng,
-        )
-        out = MRConv(
-            out_features=self.out_features,
-            act_name=self.act_name,
-            norm=self.norm,
-            use_bias=self.use_bias,
-            groups=self.groups,
-            dtype=self.dtype,
-            name="gconv",
-        )(x_nodes, nn_idx, y_nodes, train=train)
+        out = _mrconv_aggregate(self, x_nodes, y_nodes, relative_pos, train)
         return out.reshape(B, *sp, self.out_features)
 
 
@@ -209,6 +240,7 @@ class PoolDyGraphConv(nn.Module):
     stochastic: bool = False
     epsilon: float = 0.0
     groups: int = 1
+    fused: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -224,26 +256,6 @@ class PoolDyGraphConv(nn.Module):
         y_nodes = None
         if self.reduce_ratio > 1:
             y_nodes = avg_pool(pooled, self.reduce_ratio).reshape(B, -1, C)
-        use_stoch = self.stochastic and train and self.dilation > 1
-        rng = self.make_rng("graph") if use_stoch else None
-        nn_idx = dilated_knn_graph(
-            x_nodes,
-            self.k,
-            dilation=self.dilation,
-            y=y_nodes,
-            relative_pos=relative_pos,
-            stochastic=use_stoch,
-            epsilon=self.epsilon,
-            rng=rng,
-        )
-        out = MRConv(
-            out_features=self.out_features,
-            act_name=self.act_name,
-            norm=self.norm,
-            use_bias=self.use_bias,
-            groups=self.groups,
-            dtype=self.dtype,
-            name="gconv",
-        )(x_nodes, nn_idx, y_nodes, train=train)
+        out = _mrconv_aggregate(self, x_nodes, y_nodes, relative_pos, train)
         out = out.reshape(B, *sp2, self.out_features)
         return max_unpool_scatter(out, arg, pool)

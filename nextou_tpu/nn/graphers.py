@@ -147,6 +147,59 @@ class SwinGrapher(nn.Module):
         return DropPath(self.drop_path, name="drop_path")(x, train=train) + shortcut
 
 
+class Grapher(nn.Module):
+    """Plain (non-windowed, non-pooled) grapher: fc1 -> DyGraphConv over the
+    full map -> fc2, DropPath residual.
+
+    Parity note: defined by the reference (``NexToU_Encoder_Decoder.py:
+    553-632``) but never instantiated by NexToU — only Swin/Pool graphers
+    are used. Provided for ViG-style models built on this framework.
+    """
+
+    k: int = 9
+    dilation: int = 1
+    reduce_ratio: int = 1
+    act_name: str = "leakyrelu"
+    norm: str = "instance"
+    norm_op: str = "batch"
+    use_bias: bool = True
+    stochastic: bool = False
+    epsilon: float = 0.0
+    drop_path: float = 0.0
+    use_relative_pos: bool = False
+    groups: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        shortcut = x
+        sp = x.shape[1:-1]
+        C = x.shape[-1]
+        dims = len(sp)
+        x = _Fc(C, self.norm_op, self.dtype, name="fc1")(x, train=train)
+        rel = None
+        if self.use_relative_pos:
+            n = math.prod(sp)
+            n_reduced = math.prod(s // self.reduce_ratio for s in sp)
+            rel = _rel_pos_constant(self, C, n, n_reduced, dims)
+        x = DyGraphConv(
+            out_features=2 * C,
+            k=self.k,
+            dilation=self.dilation,
+            reduce_ratio=self.reduce_ratio,
+            act_name=self.act_name,
+            norm=self.norm,
+            use_bias=self.use_bias,
+            stochastic=self.stochastic,
+            epsilon=self.epsilon,
+            groups=self.groups,
+            dtype=self.dtype,
+            name="graph_conv",
+        )(x, rel, train=train)
+        x = _Fc(C, self.norm_op, self.dtype, name="fc2")(x, train=train)
+        return DropPath(self.drop_path, name="drop_path")(x, train=train) + shortcut
+
+
 class PoolGrapher(nn.Module):
     """Global pooled GNN block over a channels-last spatial map."""
 

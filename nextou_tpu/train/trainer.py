@@ -305,6 +305,38 @@ class NexToUTrainer:
         return self.state
 
     # ------------------------------------------------------------------ #
+    # final validation (nnU-Net's perform_actual_validation + summary.json)
+    # ------------------------------------------------------------------ #
+
+    def perform_actual_validation(self, tile_batch: int = 2) -> dict:
+        """Sliding-window prediction of every validation case, per-class Dice,
+        written to ``<output>/validation/summary.json`` (the substrate's
+        output format, SURVEY.md §5)."""
+        from nextou_tpu.infer.evaluate import evaluate_cases
+        from nextou_tpu.predict import build_predictor
+
+        self.initialize()
+        _, val_ds = self.get_split()
+        predictor = build_predictor(self, tile_batch=tile_batch)
+        cases = []
+        for cid in val_ds.case_ids:
+            case = val_ds.load(cid)
+            probs = predictor(np.moveaxis(case.data, 0, -1))
+            seg = np.argmax(probs, axis=-1).astype(np.int16)
+            cases.append((seg, case.seg, cid))
+        labels = self.label_manager.all_labels
+        summary = evaluate_cases(
+            cases,
+            labels,
+            os.path.join(self.output_folder, "validation", "summary.json"),
+        )
+        self.print_to_log_file(
+            "validation foreground mean Dice:",
+            summary["foreground_mean"]["Dice"],
+        )
+        return summary
+
+    # ------------------------------------------------------------------ #
     # checkpointing
     # ------------------------------------------------------------------ #
 
