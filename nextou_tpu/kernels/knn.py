@@ -128,6 +128,48 @@ def knn_max_neighbors_reference(
     return jnp.max(batched_index_select(vals, idx), axis=2)
 
 
+# --- autodiff for the fused kernel ----------------------------------------
+#
+# The kNN *selection* carries no gradient (the reference builds the graph
+# under ``torch.no_grad()``, ``torch_edge.py:59``); gradients flow only
+# through the gathered neighbor values and the max. The backward pass
+# recomputes the selection with the XLA path (one extra distance matrix —
+# no residuals from the kernel are needed) and routes the cotangent to each
+# per-channel argmax neighbor, exactly the VJP of the reference expression.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _knn_max_fused(k: int, tile_n: int, interpret: bool, x, y, rel):
+    xn = _l2_normalize(x.astype(jnp.float32), axis=-1)
+    yn = _l2_normalize(y.astype(jnp.float32), axis=-1)
+    out = _knn_max_pallas(
+        xn, yn, y.astype(jnp.float32), rel, k=k, tile_n=tile_n,
+        interpret=interpret,
+    )
+    return out.astype(x.dtype)
+
+
+def _knn_max_fused_fwd(k, tile_n, interpret, x, y, rel):
+    return _knn_max_fused(k, tile_n, interpret, x, y, rel), (x, y, rel)
+
+
+def _knn_max_fused_bwd(k, tile_n, interpret, res, g):
+    x, y, rel = res
+
+    def ref(xv, yv):
+        xn = _l2_normalize(xv.astype(jnp.float32), axis=-1)
+        yn = _l2_normalize(yv.astype(jnp.float32), axis=-1)
+        idx = dense_knn(xn, k, y=yn, relative_pos=rel)
+        return jnp.max(batched_index_select(yv, idx), axis=2).astype(xv.dtype)
+
+    _, vjp = jax.vjp(ref, x, y)
+    gx, gy = vjp(g)
+    return gx, gy, jnp.zeros_like(rel)
+
+
+_knn_max_fused.defvjp(_knn_max_fused_fwd, _knn_max_fused_bwd)
+
+
 def knn_max_neighbors(
     x: jax.Array,
     k: int,
@@ -160,14 +202,10 @@ def knn_max_neighbors(
     if vmem > 12 * 1024 * 1024 or k > M:
         return knn_max_neighbors_reference(x, k, y, relative_pos)
 
-    xn = _l2_normalize(x.astype(jnp.float32), axis=-1)
-    yn = xn if y is None else _l2_normalize(y.astype(jnp.float32), axis=-1)
     if relative_pos is None:
         rel = jnp.zeros((N, M), jnp.float32)
     else:
         rel = jnp.broadcast_to(relative_pos.astype(jnp.float32), (N, M))
-    out = _knn_max_pallas(
-        xn, yn, vals.astype(jnp.float32), rel, k=k, tile_n=tile,
-        interpret=interpret,
-    )
-    return out.astype(x.dtype)
+    # self-graph: pass x as the candidate set too; JAX accumulates the two
+    # cotangent paths back onto x automatically.
+    return _knn_max_fused(k, tile, interpret, x, vals, rel)

@@ -56,8 +56,15 @@ def main(argv=None):
         batch_size=args.batch_size,
     )
     latest = os.path.join(output, "checkpoint_latest.ckpt")
-    if args.resume and os.path.exists(latest):
-        trainer.load_checkpoint(latest)
+    if args.resume:
+        if os.path.exists(latest):
+            trainer.load_checkpoint(latest)
+        else:
+            print(
+                f"WARNING: --c requested but {latest} does not exist "
+                "(checkpoint_latest is written every 50 epochs); "
+                "starting from scratch"
+            )
     trainer.run_training()
 
 

@@ -41,6 +41,31 @@ def test_kernel_unaligned_n():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_kernel_gradients_match_reference():
+    """VJP of the fused kernel == VJP of the XLA path (selection non-diff,
+    gradient routed to the per-channel argmax neighbor)."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 30, 8)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((2, 20, 8)), jnp.float32)
+
+    g_self = jax.grad(lambda v: jnp.sum(jnp.tanh(knn_max_neighbors(v, 5))))(x)
+    w_self = jax.grad(
+        lambda v: jnp.sum(jnp.tanh(knn_max_neighbors_reference(v, 5)))
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_self), np.asarray(w_self), atol=1e-5)
+
+    g_x, g_y = jax.grad(
+        lambda a, b: jnp.sum(jnp.tanh(knn_max_neighbors(a, 4, y=b))),
+        argnums=(0, 1),
+    )(x, y)
+    w_x, w_y = jax.grad(
+        lambda a, b: jnp.sum(jnp.tanh(knn_max_neighbors_reference(a, 4, y=b))),
+        argnums=(0, 1),
+    )(x, y)
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(w_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_y), np.asarray(w_y), atol=1e-5)
+
+
 def test_kernel_equals_mrconv_semantics():
     """maxrel = kernel(x) - x must equal gather-then-max-of-differences."""
     from nextou_tpu.core.graph import dilated_knn_graph, batched_index_select
