@@ -50,6 +50,45 @@ def zscore_normalize(
     return out
 
 
+def ct_normalize(data: np.ndarray, props: dict) -> np.ndarray:
+    """nnU-Net's CTNormalization: clip each channel to the dataset-wide
+    foreground 0.5/99.5 percentiles, then scale by the foreground mean/std
+    (statistics from the dataset fingerprint)."""
+    out = np.empty_like(data, dtype=np.float32)
+    for c in range(data.shape[0]):
+        p = props[str(c)] if str(c) in props else props[c]
+        x = np.clip(
+            data[c].astype(np.float32),
+            p["percentile_00_5"],
+            p["percentile_99_5"],
+        )
+        out[c] = (x - p["mean"]) / max(p["std"], 1e-8)
+    return out
+
+
+def normalize(
+    data: np.ndarray,
+    schemes: list[str] | None = None,
+    use_mask: list[bool] | None = None,
+    intensity_props: dict | None = None,
+) -> np.ndarray:
+    """Apply the plans' per-channel normalization scheme."""
+    if schemes is None:
+        return zscore_normalize(data)
+    out = np.empty_like(data, dtype=np.float32)
+    for c in range(data.shape[0]):
+        scheme = schemes[c] if c < len(schemes) else schemes[-1]
+        ch = data[c : c + 1]
+        if scheme == "CTNormalization":
+            out[c] = ct_normalize(ch, {str(0): intensity_props[str(c)]})[0]
+        elif scheme in ("NoNormalization", "noNorm"):
+            out[c] = ch[0].astype(np.float32)
+        else:  # ZScoreNormalization (default)
+            m = bool(use_mask[c]) if use_mask and c < len(use_mask) else False
+            out[c] = zscore_normalize(ch, use_mask=m)[0]
+    return out
+
+
 def resample_to_shape(
     x: np.ndarray, new_shape, order: int = 3, is_seg: bool = False
 ) -> np.ndarray:
@@ -81,12 +120,22 @@ def preprocess_case(
     seg: np.ndarray | None,
     spacing,
     target_spacing,
-    use_mask_for_norm: bool = False,
+    use_mask_for_norm: bool | list[bool] = False,
+    normalization_schemes: list[str] | None = None,
+    intensity_props: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None, dict]:
-    """Full pipeline: crop -> znorm -> resample. Returns (data, seg, props)."""
+    """Full pipeline: crop -> normalize -> resample. Returns (data, seg, props)."""
     orig_shape = data.shape[1:]
     data, seg, bbox = crop_to_nonzero(data, seg)
-    data = zscore_normalize(data, use_mask=use_mask_for_norm)
+    if normalization_schemes is not None:
+        masks = (
+            use_mask_for_norm
+            if isinstance(use_mask_for_norm, (list, tuple))
+            else [bool(use_mask_for_norm)] * data.shape[0]
+        )
+        data = normalize(data, normalization_schemes, list(masks), intensity_props)
+    else:
+        data = zscore_normalize(data, use_mask=bool(use_mask_for_norm))
     new_shape = shape_for_spacing(data.shape[1:], spacing, target_spacing)
     data = np.stack([resample_to_shape(c, new_shape, order=3) for c in data])
     if seg is not None:

@@ -190,7 +190,13 @@ class NexToUTrainer:
     # ------------------------------------------------------------------ #
 
     def get_split(self):
-        dataset = PreprocessedDataset(self.preprocessed_folder)
+        # plan_and_preprocess writes one subfolder per configuration
+        # (keyed by data_identifier, like nnU-Net); flat folders still work.
+        data_dir = self.preprocessed_folder
+        ident = self.configuration_manager.data_identifier
+        if ident and os.path.isdir(os.path.join(data_dir, ident)):
+            data_dir = os.path.join(data_dir, ident)
+        dataset = PreprocessedDataset(data_dir)
         if self.fold == "all":
             return dataset, dataset
         splits_path = os.path.join(self.preprocessed_folder, "splits_final.json")
