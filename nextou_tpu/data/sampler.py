@@ -63,12 +63,17 @@ class PatchSampler:
         return self.dataset.load(case_id)
 
     def _sample_center(self, case: Case, force_fg: bool) -> np.ndarray:
+        return self._sample_center_for(case, force_fg, self.patch_size)
+
+    def _sample_center_for(
+        self, case: Case, force_fg: bool, patch_size
+    ) -> np.ndarray:
         sp = np.array(case.seg.shape)
         if force_fg and case.class_locations:
             cls = self.rng.choice(list(case.class_locations.keys()))
             locs = case.class_locations[cls]
             return locs[self.rng.integers(len(locs))].astype(np.int64)
-        ps = np.array(self.patch_size)
+        ps = np.array(patch_size)
         lo = np.minimum(ps // 2, sp // 2)
         hi = np.maximum(sp - ps + ps // 2, lo + 1)
         return np.array(
@@ -76,7 +81,12 @@ class PatchSampler:
         )
 
     def sample_batch(self) -> tuple[np.ndarray, np.ndarray]:
-        """Returns data (B, C, *patch) float32, seg (B, *patch) int16."""
+        """Returns data (B, C, *patch) float32, seg (B, *patch) int16.
+
+        A 2D ``patch_size`` over a 3D dataset samples one random slice per
+        patch (nnU-Net's 2d-configuration training on volumetric data): the
+        center voxel — foreground-oversampled or uniform — picks the slice.
+        """
         n_fg = round(self.batch_size * self.oversample)
         datas, segs = [], []
         for i in range(self.batch_size):
@@ -85,8 +95,14 @@ class PatchSampler:
             ]
             case = self._get(case_id)
             force_fg = i >= self.batch_size - n_fg
-            center = self._sample_center(case, force_fg)
-            d, s = extract_patch(case.data, case.seg, center, self.patch_size)
+            patch = self.patch_size
+            slice_from_3d = len(patch) == case.seg.ndim - 1
+            if slice_from_3d:
+                patch = (1, *patch)
+            center = self._sample_center_for(case, force_fg, patch)
+            d, s = extract_patch(case.data, case.seg, center, patch)
+            if slice_from_3d:
+                d, s = d[:, 0], s[0]
             datas.append(d)
             segs.append(s)
         return np.stack(datas), np.stack(segs)

@@ -62,6 +62,7 @@ def gaussian_importance_map(
 def make_tile_predictor(
     apply_fn: Callable[[jax.Array], jax.Array],
     mirror_axes: Sequence[int] | None,
+    mesh: "jax.sharding.Mesh | None" = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Wrap a logits function into a jitted softmax+TTA tile predictor.
 
@@ -70,13 +71,16 @@ def make_tile_predictor(
             (the model's full-res head, deep supervision off).
         mirror_axes: spatial axes for flip-TTA (None/() disables). 2^|axes|
             forward passes, averaged (SURVEY.md §3.4).
+        mesh: optional device mesh — the tile batch is sharded over all its
+            axes (the north-star deployment: the tile pipeline spread over a
+            TPU slice; each device runs full forward passes on its shard of
+            tiles, no cross-device communication inside the step).
     """
     axes = tuple(mirror_axes) if mirror_axes else ()
     combos = []
     for r in range(len(axes) + 1):
         combos.extend(itertools.combinations(axes, r))
 
-    @jax.jit
     def predict(tiles: jax.Array) -> jax.Array:
         total = None
         for combo in combos:
@@ -89,7 +93,12 @@ def make_tile_predictor(
             total = probs if total is None else total + probs
         return total / float(len(combos))
 
-    return predict
+    if mesh is None:
+        return jax.jit(predict)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(mesh.axis_names))
+    return jax.jit(predict, in_shardings=sh, out_shardings=sh)
 
 
 def sliding_window_predict(
@@ -101,14 +110,26 @@ def sliding_window_predict(
     step_fraction: float = 0.5,
     use_gaussian: bool = True,
     tile_batch: int = 4,
+    mesh: "jax.sharding.Mesh | None" = None,
 ) -> np.ndarray:
     """Predict class probabilities for a full volume.
 
     Args:
         data: ``(*spatial, C_in)`` preprocessed image (channels-last).
+        mesh: optional device mesh; the tile batch is sharded across its
+            devices (pass a ``tile_predictor`` built with the same mesh).
+            ``tile_batch`` is rounded up to a multiple of the mesh size.
     Returns:
         ``(*spatial, num_classes)`` float32 probabilities.
     """
+    put = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        tile_batch = int(math.ceil(tile_batch / n_dev)) * n_dev
+        sh = NamedSharding(mesh, P(mesh.axis_names))
+        put = lambda x: jax.device_put(x, sh)  # noqa: E731
     spatial = data.shape[:-1]
     patch = tuple(patch_size)
     # pad up to patch size if needed
@@ -141,7 +162,7 @@ def sliding_window_predict(
             tiles = np.concatenate(
                 [tiles, np.repeat(tiles[-1:], tile_batch - n_real, axis=0)]
             )
-        probs = np.asarray(tile_predictor(jnp.asarray(tiles)))[:n_real]
+        probs = np.asarray(tile_predictor(put(tiles)))[:n_real]
         for co, pr in zip(chunk, probs):
             sl = tuple(slice(c, c + p) for c, p in zip(co, patch))
             acc[sl] += pr * gauss[..., None]

@@ -187,21 +187,34 @@ def build_model_spec(
         # PoolGNNBlocks: k = k_list[index + stage_num] (== k_list[stage]),
         # r = reduce_ratios[index + stage_num], dilation = min(idx//4+1, maxd)
         s = index + no_pool_gnn_stage_num
+        pool_size = _pool_size_for(shapes[stage_idx_in_net], img_min_shape)
+        pooled = tuple(
+            h // p for h, p in zip(shapes[stage_idx_in_net], pool_size)
+        )
+        # clamp the candidate reduction and k to what the map can supply —
+        # small configs otherwise request k > #candidates, which the
+        # reference would crash on too (torch.topk); the published configs
+        # are unaffected (their candidate sets are always large enough).
+        r = min(reduce_ratios[s], min(pooled))
+        n_cand = math.prod(h // r for h in pooled) if r > 1 else math.prod(pooled)
+        k = max(1, min(k_list[s], n_cand))
         return GNNBlockSpec(
             kind="pool",
-            k=k_list[s],
-            dilation=min(index // 4 + 1, max_dilation),
+            k=k,
+            dilation=max(1, min(index // 4 + 1, max_dilation, n_cand // k)),
             drop_path=dpr[index],
-            reduce_ratio=reduce_ratios[s],
-            pool_size=_pool_size_for(shapes[stage_idx_in_net], img_min_shape),
+            reduce_ratio=r,
+            pool_size=pool_size,
         )
 
     def swin_block(index: int) -> GNNBlockSpec:
         # SwinGNNBlocks: k = k_list[index], r = 1
+        n_nodes = math.prod(window)
+        k = max(1, min(k_list[index], n_nodes))
         return GNNBlockSpec(
             kind="swin",
-            k=k_list[index],
-            dilation=min(index // 4 + 1, max_dilation),
+            k=k,
+            dilation=max(1, min(index // 4 + 1, max_dilation, n_nodes // k)),
             drop_path=dpr[index],
             window_size=window,
             shift_size=shift,

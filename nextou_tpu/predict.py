@@ -17,9 +17,13 @@ import jax
 import jax.numpy as jnp
 
 
-def build_predictor(trainer, tile_batch: int = 2):
+def build_predictor(trainer, tile_batch: int = 2, mesh=None):
     """From an initialized trainer (checkpoint loaded), build a function
-    ``(data (*sp, C) float32) -> probs (*sp, num_classes)``."""
+    ``(data (*sp, C) float32) -> probs (*sp, num_classes)``.
+
+    With ``mesh``, the tile batch is sharded across all mesh devices (params
+    replicated) — the multi-chip serving path: every chip predicts its shard
+    of tiles, host accumulates."""
     from nextou_tpu.infer import make_tile_predictor, sliding_window_predict
     from nextou_tpu.models import NexToU
     import dataclasses
@@ -27,19 +31,23 @@ def build_predictor(trainer, tile_batch: int = 2):
     spec = dataclasses.replace(trainer.model_spec, deep_supervision=False)
     model = NexToU(spec=spec, dtype=trainer.compute_dtype, remat=False)
     variables = jax.device_get(trainer.state.model_variables())
+    if mesh is not None:
+        from nextou_tpu.parallel import replicate
+
+        variables = replicate(mesh, variables)
 
     def apply_fn(x):
         return model.apply(variables, x, train=False)
 
     tile_pred = make_tile_predictor(
-        apply_fn, trainer.inference_allowed_mirroring_axes
+        apply_fn, trainer.inference_allowed_mirroring_axes, mesh=mesh
     )
     patch = spec.patch_size
     ncls = spec.num_classes
 
     def predict(data: np.ndarray) -> np.ndarray:
         return sliding_window_predict(
-            tile_pred, data, patch, ncls, tile_batch=tile_batch
+            tile_pred, data, patch, ncls, tile_batch=tile_batch, mesh=mesh
         )
 
     return predict
@@ -61,6 +69,11 @@ def main(argv=None):
     ap.add_argument("-chk", default="checkpoint_final.ckpt")
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("--cases", nargs="*", default=None)
+    ap.add_argument("--tile-batch", type=int, default=2)
+    ap.add_argument(
+        "--all-devices", action="store_true",
+        help="shard the tile batch across every visible device",
+    )
     args = ap.parse_args(argv)
 
     from nextou_tpu.data import PreprocessedDataset
@@ -78,7 +91,12 @@ def main(argv=None):
 
     ds = PreprocessedDataset(args.dataset_folder, args.cases)
     os.makedirs(args.output, exist_ok=True)
-    predictor = build_predictor(trainer)
+    mesh = None
+    if args.all_devices and len(jax.devices()) > 1:
+        from nextou_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    predictor = build_predictor(trainer, tile_batch=args.tile_batch, mesh=mesh)
     for cid in ds.case_ids:
         case = ds.load(cid)
         probs = predictor(np.moveaxis(case.data, 0, -1))
