@@ -128,22 +128,87 @@ def _zoom_to(x: np.ndarray, shape, order: int) -> np.ndarray:
     return out
 
 
-def augment_sample(data, seg, cfg: AugmentConfig, rng: np.random.Generator):
-    """data (C, *sp) float32, seg (*sp) int -> augmented pair."""
-    data, seg = _spatial(data, seg, cfg, rng)
+def augment_sample(
+    data, seg, cfg: AugmentConfig, rng: np.random.Generator, prev=None
+):
+    """data (C, *sp) float32, seg (*sp) int -> augmented tuple.
+
+    ``prev`` (cascade: previous-stage seg, (*sp) int) rides through the same
+    spatial transforms and mirrors as ``seg`` (order 0, no intensity) —
+    nnU-Net treats it as an extra segmentation channel during DA."""
+    if prev is None:
+        data, seg = _spatial(data, seg, cfg, rng)
+    else:
+        stacked = np.stack([seg.astype(np.int16), prev.astype(np.int16)])
+        # transform both label maps with one shared affine by flattening
+        # them into a combined code (both are small non-negative ints)
+        code = stacked[0].astype(np.int32) * 32768 + stacked[1]
+        data, code = _spatial(data, code, cfg, rng)
+        seg, prev = code // 32768, code % 32768
     data = _intensity(data.copy(), cfg, rng)
     if cfg.mirror_axes:
         for ax in cfg.mirror_axes:
             if rng.uniform() < 0.5:
                 data = np.flip(data, axis=ax + 1)
                 seg = np.flip(seg, axis=ax)
-    return np.ascontiguousarray(data), np.ascontiguousarray(seg)
+                if prev is not None:
+                    prev = np.flip(prev, axis=ax)
+    return (
+        np.ascontiguousarray(data),
+        np.ascontiguousarray(seg),
+        None if prev is None else np.ascontiguousarray(prev),
+    )
 
 
-def augment_batch(data, seg, cfg: AugmentConfig, rng: np.random.Generator):
-    """data (B, C, *sp), seg (B, *sp)."""
+def augment_batch(
+    data, seg, cfg: AugmentConfig, rng: np.random.Generator, prev=None
+):
+    """data (B, C, *sp), seg (B, *sp), optional prev (B, *sp)."""
     out_d = np.empty_like(data)
     out_s = np.empty_like(seg)
+    out_p = None if prev is None else np.empty_like(prev)
     for b in range(data.shape[0]):
-        out_d[b], out_s[b] = augment_sample(data[b], seg[b], cfg, rng)
-    return out_d, out_s
+        p = None if prev is None else prev[b]
+        out_d[b], out_s[b], pb = augment_sample(data[b], seg[b], cfg, rng, p)
+        if out_p is not None:
+            out_p[b] = pb
+    return out_d, out_s, out_p
+
+
+def cascade_onehot_noise(
+    onehot: np.ndarray,
+    rng: np.random.Generator,
+    p_binary_op: float = 0.4,
+    p_remove_component: float = 0.2,
+    max_component_frac: float = 0.15,
+) -> np.ndarray:
+    """DA noise on the one-hot previous-stage channels (nnU-Net's
+    ApplyRandomBinaryOperator + RemoveRandomConnectedComponent transforms):
+    per channel, randomly dilate/erode/open/close with a random structuring
+    element, and occasionally delete a small connected component — so the
+    fullres net learns not to blindly trust the lowres prediction."""
+    ops = (
+        ndimage.binary_dilation,
+        ndimage.binary_erosion,
+        ndimage.binary_opening,
+        ndimage.binary_closing,
+    )
+    out = onehot
+    for c in range(out.shape[0]):
+        if rng.uniform() < p_binary_op:
+            op = ops[rng.integers(len(ops))]
+            size = int(rng.integers(1, 8))
+            strel = ndimage.generate_binary_structure(out[c].ndim, 1)
+            strel = ndimage.iterate_structure(strel, max(1, size // 2))
+            out[c] = op(out[c] > 0.5, structure=strel).astype(out.dtype)
+        if rng.uniform() < p_remove_component:
+            labeled, n = ndimage.label(out[c] > 0.5)
+            if n:
+                sizes = ndimage.sum_labels(
+                    np.ones_like(labeled), labeled, index=np.arange(1, n + 1)
+                )
+                small = np.where(sizes / out[c].size < max_component_frac)[0]
+                if len(small):
+                    kill = int(small[rng.integers(len(small))]) + 1
+                    out[c] = np.where(labeled == kill, 0, out[c])
+    return out

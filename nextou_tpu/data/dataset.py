@@ -53,13 +53,25 @@ class Case:
     seg: np.ndarray  # (*sp) int16
     class_locations: dict[int, np.ndarray]
     properties: dict
+    seg_prev: np.ndarray | None = None  # cascade: previous-stage prediction
 
 
 class PreprocessedDataset:
-    """A folder of preprocessed ``.npz`` cases."""
+    """A folder of preprocessed ``.npz`` cases.
 
-    def __init__(self, folder: str, case_ids: list[str] | None = None):
+    ``prev_stage_folder`` (cascade configurations) points at a folder of
+    ``{case_id}.npz`` files holding the previous stage's predicted ``seg``
+    resampled to this configuration's grid (written by
+    ``python -m nextou_tpu.predict_next_stage``)."""
+
+    def __init__(
+        self,
+        folder: str,
+        case_ids: list[str] | None = None,
+        prev_stage_folder: str | None = None,
+    ):
         self.folder = folder
+        self.prev_stage_folder = prev_stage_folder
         if case_ids is None:
             case_ids = sorted(
                 f[:-4] for f in os.listdir(folder) if f.endswith(".npz")
@@ -81,10 +93,24 @@ class PreprocessedDataset:
         if os.path.exists(props_path):
             with open(props_path) as f:
                 props = json.load(f)
-        return Case(data=data, seg=seg, class_locations=class_locs, properties=props)
+        seg_prev = None
+        if self.prev_stage_folder is not None:
+            prev_path = os.path.join(self.prev_stage_folder, f"{case_id}.npz")
+            with np.load(prev_path) as z:
+                seg_prev = z["seg"]
+            assert seg_prev.shape == seg.shape, (
+                f"{case_id}: previous-stage seg {seg_prev.shape} does not "
+                f"match this configuration's grid {seg.shape}"
+            )
+        return Case(
+            data=data, seg=seg, class_locations=class_locs,
+            properties=props, seg_prev=seg_prev,
+        )
 
     def subset(self, case_ids: list[str]) -> "PreprocessedDataset":
-        return PreprocessedDataset(self.folder, case_ids)
+        return PreprocessedDataset(
+            self.folder, case_ids, prev_stage_folder=self.prev_stage_folder
+        )
 
 
 def make_splits(case_ids: list[str], n_folds: int = 5, seed: int = 12345):

@@ -14,12 +14,21 @@ import threading
 
 import numpy as np
 
-from nextou_tpu.data.augment import AugmentConfig, augment_batch
+from nextou_tpu.data.augment import (
+    AugmentConfig,
+    augment_batch,
+    cascade_onehot_noise,
+)
 from nextou_tpu.data.sampler import PatchSampler
 
 
 class PatchDataLoader:
-    """Iterator of {'data': (B, *sp, C) f32, 'seg': (B, *sp) i32} batches."""
+    """Iterator of {'data': (B, *sp, C) f32, 'seg': (B, *sp) i32} batches.
+
+    For cascade configurations pass ``onehot_labels`` (the foreground label
+    values): the previous-stage seg patch is one-hot encoded over those
+    labels, perturbed with :func:`cascade_onehot_noise` (training only), and
+    appended to the data channels — nnU-Net's MoveSegAsOneHotToData."""
 
     def __init__(
         self,
@@ -28,9 +37,13 @@ class PatchDataLoader:
         seed: int = 0,
         num_threads: int = 2,
         prefetch: int = 4,
+        onehot_labels: tuple[int, ...] | None = None,
+        cascade_noise: bool = False,
     ):
         self.sampler = sampler
         self.augment = augment
+        self.onehot_labels = tuple(onehot_labels) if onehot_labels else None
+        self.cascade_noise = cascade_noise
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self._rngs = [
@@ -45,9 +58,24 @@ class PatchDataLoader:
         rng = self._rngs[tid]
         while not self._stop.is_set():
             with self._lock:  # sampler RNG is shared state
-                data, seg = self.sampler.sample_batch()
+                data, seg, prev = self.sampler.sample_batch()
             if self.augment is not None:
-                data, seg = augment_batch(data, seg, self.augment, rng)
+                data, seg, prev = augment_batch(
+                    data, seg, self.augment, rng, prev
+                )
+            if prev is not None:
+                if self.onehot_labels is None:
+                    raise ValueError(
+                        "cascade dataset (seg_prev present) needs "
+                        "onehot_labels on the PatchDataLoader"
+                    )
+                hot = np.stack(
+                    [(prev == l) for l in self.onehot_labels], axis=1
+                ).astype(np.float32)  # (B, F, *sp)
+                if self.cascade_noise:
+                    for b in range(hot.shape[0]):
+                        hot[b] = cascade_onehot_noise(hot[b], rng)
+                data = np.concatenate([data, hot], axis=1)
             batch = {
                 # (B, C, *sp) -> channels-last
                 "data": np.ascontiguousarray(np.moveaxis(data, 1, -1)),

@@ -80,15 +80,19 @@ class PatchSampler:
             [self.rng.integers(l, h) for l, h in zip(lo, hi)], np.int64
         )
 
-    def sample_batch(self) -> tuple[np.ndarray, np.ndarray]:
-        """Returns data (B, C, *patch) float32, seg (B, *patch) int16.
+    def sample_batch(
+        self,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+        """Returns data (B, C, *patch) float32, seg (B, *patch) int16, and —
+        for cascade datasets — the previous-stage seg patch (B, *patch)
+        int16 (None otherwise).
 
         A 2D ``patch_size`` over a 3D dataset samples one random slice per
         patch (nnU-Net's 2d-configuration training on volumetric data): the
         center voxel — foreground-oversampled or uniform — picks the slice.
         """
         n_fg = round(self.batch_size * self.oversample)
-        datas, segs = [], []
+        datas, segs, prevs = [], [], []
         for i in range(self.batch_size):
             case_id = self.dataset.case_ids[
                 self.rng.integers(len(self.dataset.case_ids))
@@ -101,8 +105,14 @@ class PatchSampler:
                 patch = (1, *patch)
             center = self._sample_center_for(case, force_fg, patch)
             d, s = extract_patch(case.data, case.seg, center, patch)
+            if case.seg_prev is not None:
+                _, p = extract_patch(
+                    case.seg_prev[None], case.seg_prev, center, patch
+                )
+                prevs.append(p[0] if slice_from_3d else p)
             if slice_from_3d:
                 d, s = d[:, 0], s[0]
             datas.append(d)
             segs.append(s)
-        return np.stack(datas), np.stack(segs)
+        prev = np.stack(prevs) if prevs else None
+        return np.stack(datas), np.stack(segs), prev

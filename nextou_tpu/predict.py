@@ -74,6 +74,11 @@ def main(argv=None):
         "--all-devices", action="store_true",
         help="shard the tile batch across every visible device",
     )
+    ap.add_argument(
+        "-prev", "--prev-stage-predictions", default=None,
+        help="cascade: folder of previous-stage {case}.npz segs on this "
+             "configuration's grid (from predict_next_stage or predict)",
+    )
     args = ap.parse_args(argv)
 
     from nextou_tpu.data import PreprocessedDataset
@@ -89,17 +94,38 @@ def main(argv=None):
     )
     trainer.load_checkpoint(os.path.join(args.model_folder, args.chk))
 
-    ds = PreprocessedDataset(args.dataset_folder, args.cases)
+    data_dir = args.dataset_folder
+    ident = trainer.configuration_manager.data_identifier
+    if ident and os.path.isdir(os.path.join(data_dir, ident)):
+        data_dir = os.path.join(data_dir, ident)
+    ds = PreprocessedDataset(data_dir, args.cases)
     os.makedirs(args.output, exist_ok=True)
     mesh = None
     if args.all_devices and len(jax.devices()) > 1:
         from nextou_tpu.parallel import make_mesh
 
         mesh = make_mesh()
+    if (
+        trainer.configuration_manager.previous_stage_name is not None
+        and args.prev_stage_predictions is None
+    ):
+        raise SystemExit(
+            f"configuration '{args.configuration}' is a cascade stage: pass "
+            "-prev with the previous stage's predictions"
+        )
+    fg_labels = trainer.label_manager.foreground_labels
     predictor = build_predictor(trainer, tile_batch=args.tile_batch, mesh=mesh)
     for cid in ds.case_ids:
         case = ds.load(cid)
-        probs = predictor(np.moveaxis(case.data, 0, -1))
+        data = np.moveaxis(case.data, 0, -1)
+        if args.prev_stage_predictions is not None:
+            with np.load(
+                os.path.join(args.prev_stage_predictions, f"{cid}.npz")
+            ) as z:
+                prev = z["seg"]
+            hot = np.stack([prev == l for l in fg_labels], axis=-1)
+            data = np.concatenate([data, hot.astype(np.float32)], axis=-1)
+        probs = predictor(data)
         seg = np.argmax(probs, axis=-1).astype(np.int16)
         np.savez_compressed(os.path.join(args.output, f"{cid}.npz"), seg=seg)
         print(f"predicted {cid}: {seg.shape}")

@@ -142,7 +142,28 @@ class NexToUTrainer:
         ch = self.dataset_json.get("channel_names") or self.dataset_json.get(
             "modality", {"0": "X"}
         )
-        return max(1, len(ch))
+        n = max(1, len(ch))
+        # cascade: previous-stage prediction enters as one-hot foreground
+        # channels (nnU-Net's determine_num_input_channels)
+        if self.configuration_manager.previous_stage_name is not None:
+            n += len(self.label_manager.foreground_labels)
+        return n
+
+    def _prev_stage_folder(self) -> str | None:
+        prev = self.configuration_manager.previous_stage_name
+        if prev is None:
+            return None
+        folder = os.path.join(
+            self.preprocessed_folder, "predicted_next_stage", prev
+        )
+        if not os.path.isdir(folder):
+            raise FileNotFoundError(
+                f"cascade configuration '{self.configuration_name}' needs "
+                f"previous-stage predictions at {folder} — run "
+                f"`python -m nextou_tpu.predict_next_stage` on the "
+                f"'{prev}' model first"
+            )
+        return folder
 
     # ------------------------------------------------------------------ #
     # initialization
@@ -196,7 +217,9 @@ class NexToUTrainer:
         ident = self.configuration_manager.data_identifier
         if ident and os.path.isdir(os.path.join(data_dir, ident)):
             data_dir = os.path.join(data_dir, ident)
-        dataset = PreprocessedDataset(data_dir)
+        dataset = PreprocessedDataset(
+            data_dir, prev_stage_folder=self._prev_stage_folder()
+        )
         if self.fold == "all":
             return dataset, dataset
         splits_path = os.path.join(self.preprocessed_folder, "splits_final.json")
@@ -227,8 +250,18 @@ class NexToUTrainer:
         aug = AugmentConfig(mirror_axes=self.configure_mirroring())
         if self.configuration_manager.spatial_dims == 2:
             aug.rotation_rad = (np.pi,) * 1  # in-plane ±180° for 2D
-        train_loader = PatchDataLoader(train_sampler, augment=aug, seed=self.seed)
-        val_loader = PatchDataLoader(val_sampler, augment=None, seed=self.seed + 7)
+        cascade = self.configuration_manager.previous_stage_name is not None
+        onehot = (
+            tuple(self.label_manager.foreground_labels) if cascade else None
+        )
+        train_loader = PatchDataLoader(
+            train_sampler, augment=aug, seed=self.seed,
+            onehot_labels=onehot, cascade_noise=cascade,
+        )
+        val_loader = PatchDataLoader(
+            val_sampler, augment=None, seed=self.seed + 7,
+            onehot_labels=onehot, cascade_noise=False,
+        )
         return train_loader, val_loader
 
     # ------------------------------------------------------------------ #
@@ -324,10 +357,15 @@ class NexToUTrainer:
         self.initialize()
         _, val_ds = self.get_split()
         predictor = build_predictor(self, tile_batch=tile_batch)
+        fg = self.label_manager.foreground_labels
         cases = []
         for cid in val_ds.case_ids:
             case = val_ds.load(cid)
-            probs = predictor(np.moveaxis(case.data, 0, -1))
+            data = np.moveaxis(case.data, 0, -1)
+            if case.seg_prev is not None:  # cascade: one-hot prev channels
+                hot = np.stack([case.seg_prev == l for l in fg], axis=-1)
+                data = np.concatenate([data, hot.astype(np.float32)], axis=-1)
+            probs = predictor(data)
             seg = np.argmax(probs, axis=-1).astype(np.int16)
             cases.append((seg, case.seg, cid))
         labels = self.label_manager.all_labels
