@@ -1,8 +1,9 @@
-"""Evaluation: per-class Dice + nnU-Net-style summary.json.
+"""Evaluation: per-class Dice / IoU / HD95 + nnU-Net-style summary.json.
 
-The substrate writes ``validation/summary.json`` with per-class Dice after
-training (SURVEY.md §5); this reproduces that surface so Dice parity against
-the reference tables (BASELINE.md) is directly comparable.
+The substrate writes ``validation/summary.json`` with per-class metrics
+after training (SURVEY.md §5); this reproduces that surface so quality
+parity against the reference tables (BASELINE.md: mean DSC *and* mean HD95
+on BTCV) is directly comparable.
 """
 
 from __future__ import annotations
@@ -11,6 +12,7 @@ import json
 import os
 
 import numpy as np
+from scipy import ndimage
 
 
 def dice_scores(pred: np.ndarray, ref: np.ndarray, labels) -> dict[int, float]:
@@ -27,33 +29,92 @@ def dice_scores(pred: np.ndarray, ref: np.ndarray, labels) -> dict[int, float]:
     return out
 
 
+def _surface(mask: np.ndarray) -> np.ndarray:
+    return mask ^ ndimage.binary_erosion(mask)
+
+
+def hd95(
+    pred: np.ndarray, ref: np.ndarray, spacing=None
+) -> float:
+    """95th-percentile symmetric Hausdorff distance between binary masks
+    (the reference's second headline metric, BASELINE.md). NaN when either
+    mask is empty (no surface to measure)."""
+    if not pred.any() or not ref.any():
+        return float("nan")
+    pb, gb = _surface(pred), _surface(ref)
+    if not pb.any() or not gb.any():
+        return float("nan")
+    dg = ndimage.distance_transform_edt(~gb, sampling=spacing)
+    dp = ndimage.distance_transform_edt(~pb, sampling=spacing)
+    dists = np.concatenate([dg[pb], dp[gb]])
+    return float(np.percentile(dists, 95))
+
+
+def case_metrics(
+    pred: np.ndarray, ref: np.ndarray, labels, spacing=None
+) -> dict[str, dict[str, float]]:
+    """Per-label Dice / IoU / HD95 / TP-FP-FN counts for one case."""
+    out = {}
+    for l in labels:
+        p = pred == l
+        g = ref == l
+        tp = int(np.logical_and(p, g).sum())
+        fp = int(p.sum()) - tp
+        fn = int(g.sum()) - tp
+        denom = 2 * tp + fp + fn
+        dice = float("nan") if denom == 0 else 2.0 * tp / denom
+        union = tp + fp + fn
+        iou = float("nan") if union == 0 else tp / union
+        out[str(int(l))] = {
+            "Dice": dice,
+            "IoU": iou,
+            "HD95": hd95(p, g, spacing) if int(l) != 0 else float("nan"),
+            "TP": tp,
+            "FP": fp,
+            "FN": fn,
+        }
+    return out
+
+
 def evaluate_cases(
     cases: list[tuple[np.ndarray, np.ndarray, str]],
     labels,
     output_file: str | None = None,
+    spacing=None,
 ) -> dict:
     """cases: list of (pred_seg, ref_seg, case_id)."""
     metric_per_case = []
     for pred, ref, cid in cases:
         metric_per_case.append(
-            {"case": cid, "metrics": {str(k): v for k, v in dice_scores(pred, ref, labels).items()}}
+            {"case": cid, "metrics": case_metrics(pred, ref, labels, spacing)}
         )
-    mean = {}
-    for l in labels:
+
+    def _mean(label: str, metric: str) -> float:
         vals = [
-            c["metrics"][str(l)]
+            c["metrics"][label][metric]
             for c in metric_per_case
-            if not np.isnan(c["metrics"][str(l)])
+            if not np.isnan(c["metrics"][label][metric])
         ]
-        mean[str(l)] = float(np.mean(vals)) if vals else float("nan")
-    fg = [v for k, v in mean.items() if k != "0" and not np.isnan(v)]
+        return float(np.mean(vals)) if vals else float("nan")
+
+    mean = {
+        str(int(l)): {
+            m: _mean(str(int(l)), m) for m in ("Dice", "IoU", "HD95")
+        }
+        for l in labels
+    }
+    fg_labels = [str(int(l)) for l in labels if int(l) != 0]
+    fg_mean = {}
+    for m in ("Dice", "IoU", "HD95"):
+        vals = [mean[l][m] for l in fg_labels if not np.isnan(mean[l][m])]
+        fg_mean[m] = float(np.mean(vals)) if vals else float("nan")
     summary = {
         "metric_per_case": metric_per_case,
         "mean": mean,
-        "foreground_mean": {"Dice": float(np.mean(fg)) if fg else float("nan")},
+        "foreground_mean": fg_mean,
     }
     if output_file:
         os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
         with open(output_file, "w") as f:
-            json.dump(summary, f, indent=2)
+            json.dump(summary, f, indent=2, default=float)
     return summary

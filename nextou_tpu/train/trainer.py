@@ -340,8 +340,42 @@ class NexToUTrainer:
                     self.save_checkpoint("checkpoint_best.ckpt")
                 if (epoch + 1) % self.checkpoint_every == 0:
                     self.save_checkpoint("checkpoint_latest.ckpt")
+                self.plot_progress()
         self.save_checkpoint("checkpoint_final.ckpt")
         return self.state
+
+    def plot_progress(self):
+        """Write ``progress.png`` (the substrate's per-epoch training curve:
+        losses + EMA pseudo-Dice + epoch time; SURVEY.md §5)."""
+        if not self.log_history:
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # plotting is best-effort observability
+            return
+        h = self.log_history
+        ep = [e["epoch"] for e in h]
+        fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(8, 7), sharex=True)
+        ax1.plot(ep, [e["train_loss"] for e in h], label="train loss")
+        ax1.plot(ep, [e["val_loss"] for e in h], label="val loss")
+        ax1b = ax1.twinx()
+        ax1b.plot(
+            ep, [e["ema_pseudo_dice"] for e in h],
+            color="tab:green", label="EMA pseudo-Dice",
+        )
+        ax1.set_ylabel("loss")
+        ax1b.set_ylabel("EMA pseudo-Dice")
+        ax1.legend(loc="upper left")
+        ax1b.legend(loc="upper right")
+        ax2.plot(ep, [e["epoch_time_s"] for e in h])
+        ax2.set_ylabel("epoch time (s)")
+        ax2.set_xlabel("epoch")
+        fig.tight_layout()
+        fig.savefig(os.path.join(self.output_folder, "progress.png"), dpi=100)
+        plt.close(fig)
 
     # ------------------------------------------------------------------ #
     # final validation (nnU-Net's perform_actual_validation + summary.json)
