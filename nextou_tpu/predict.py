@@ -63,8 +63,18 @@ def predict_case(trainer, data_chw: np.ndarray, tile_batch: int = 2) -> np.ndarr
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("model_folder", help="trainer output folder with checkpoints")
-    ap.add_argument("dataset_folder", help="preprocessed dataset folder")
+    ap.add_argument(
+        "dataset_folder",
+        help="preprocessed dataset folder, or (with --raw) a folder of raw "
+             "images ({case}_{0000..}.nii.gz)",
+    )
     ap.add_argument("configuration")
+    ap.add_argument(
+        "--raw", action="store_true",
+        help="input is raw images: run the full preprocess -> predict -> "
+             "resample-back -> revert-crop pipeline and write NIfTI segs "
+             "(plans/dataset.json are read from the model folder)",
+    )
     ap.add_argument("-tr", "--trainer", default="nnUNetTrainer_NexToU")
     ap.add_argument("-chk", default="checkpoint_final.ckpt")
     ap.add_argument("-o", "--output", required=True)
@@ -85,14 +95,41 @@ def main(argv=None):
     from nextou_tpu.plans.loader import load_dataset_json
     from nextou_tpu.train import get_trainer_class
 
-    dataset_json = load_dataset_json(args.dataset_folder)
-    plans_path = os.path.join(args.dataset_folder, "nnUNetPlans.json")
+    if args.raw:
+        # plans + dataset.json were saved next to the checkpoints at training
+        dataset_json = load_dataset_json(args.model_folder)
+        plans_path = os.path.join(args.model_folder, "plans.json")
+    else:
+        dataset_json = load_dataset_json(args.dataset_folder)
+        plans_path = os.path.join(args.dataset_folder, "nnUNetPlans.json")
     cls = get_trainer_class(args.trainer)
     trainer = cls(
         plans_path, args.configuration, 0, dataset_json,
         preprocessed_folder=args.dataset_folder, output_folder=args.model_folder,
     )
     trainer.load_checkpoint(os.path.join(args.model_folder, args.chk))
+
+    if args.raw:
+        from nextou_tpu.infer.raw import predict_raw_folder
+
+        mesh = None
+        if args.all_devices and len(jax.devices()) > 1:
+            from nextou_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+        predictor = build_predictor(
+            trainer, tile_batch=args.tile_batch, mesh=mesh
+        )
+        predict_raw_folder(
+            predictor,
+            args.dataset_folder,
+            args.output,
+            trainer.plans_manager,
+            trainer.configuration_manager,
+            dataset_json,
+            cases=args.cases,
+        )
+        return
 
     data_dir = args.dataset_folder
     ident = trainer.configuration_manager.data_identifier

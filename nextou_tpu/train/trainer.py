@@ -203,6 +203,13 @@ class NexToUTrainer:
             self.network, self.optimizer, self.loss_spec, self.ds_weights
         )
         self.eval_step = make_eval_step(self.network, self.loss_spec, self.ds_weights)
+        # persist plans + dataset.json next to the checkpoints (the substrate
+        # does the same) so inference from raw images needs only this folder
+        os.makedirs(self.output_folder, exist_ok=True)
+        with open(os.path.join(self.output_folder, "plans.json"), "w") as f:
+            json.dump(self.plans_manager.plans, f, indent=2, default=float)
+        with open(os.path.join(self.output_folder, "dataset.json"), "w") as f:
+            json.dump(self.dataset_json, f, indent=2)
         self._initialized = True
         return self
 

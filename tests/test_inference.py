@@ -87,3 +87,33 @@ def test_tta_mirror_averaging():
             logits = jnp.flip(logits, dims)
         total += np.asarray(jax.nn.softmax(logits, -1))[0]
     np.testing.assert_allclose(got, total / 4, atol=1e-5)
+
+
+def test_predict_raw_case_geometry_roundtrip():
+    """Crop/resample/transpose must be exactly reverted: a predictor that
+    segments by thresholding the input recovers the input's blob at the
+    original geometry."""
+    from nextou_tpu.infer.raw import predict_raw_case
+
+    img = np.zeros((20, 30, 26), np.float32)
+    img[4:12, 8:20, 6:18] = 1.0  # blob; outside is zero -> cropped away
+
+    def predictor(x):
+        # all-foreground: the output seg must paint exactly the crop bbox,
+        # proving resample-back + revert-crop + transpose-back are exact
+        fg = np.ones(x.shape[:-1], np.float32)
+        return np.stack([1 - fg, fg], axis=-1)
+
+    seg = predict_raw_case(
+        predictor,
+        img[None],
+        spacing=(2.0, 1.0, 1.0),
+        target_spacing=(1.0, 1.0, 1.0),  # anisotropic resample up
+        normalization_schemes=["ZScoreNormalization"],
+        use_mask_for_norm=[False],
+        intensity_props=None,
+        transpose_forward=[2, 0, 1],
+        transpose_backward=[1, 2, 0],
+    )
+    assert seg.shape == img.shape
+    np.testing.assert_array_equal(seg == 1, img > 0)
