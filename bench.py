@@ -32,6 +32,9 @@ ITERS = 8
 
 
 def main():
+    from nextou_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from nextou_tpu.models import NexToU
     from nextou_tpu.models.presets import flagship_3d_spec
     from nextou_tpu.utils import fast_init

@@ -61,6 +61,9 @@ def predict_case(trainer, data_chw: np.ndarray, tile_batch: int = 2) -> np.ndarr
 
 
 def main(argv=None):
+    from nextou_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("model_folder", help="trainer output folder with checkpoints")
     ap.add_argument(

@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from nextou_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("dataset_folder", help="preprocessed dataset folder")
     ap.add_argument("model_folder", help="trained lowres model folder")

@@ -18,6 +18,9 @@ import os
 
 
 def main(argv=None):
+    from nextou_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("dataset_folder", help="preprocessed dataset folder")
     ap.add_argument("configuration", help="e.g. 3d_fullres_nextou")
