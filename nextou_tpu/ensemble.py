@@ -1,0 +1,54 @@
+"""Ensemble predictions from multiple models/configurations.
+
+The substrate's ``nnUNetv2_ensemble`` equivalent: average the saved softmax
+probabilities (``predict --save-probabilities``) from two or more prediction
+folders and write the argmax segmentation.
+
+    python -m nextou_tpu.ensemble FOLDER1 FOLDER2 [...] -o OUT_FOLDER
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def ensemble_case(prob_list: list[np.ndarray]) -> np.ndarray:
+    mean = np.mean([p.astype(np.float32) for p in prob_list], axis=0)
+    return np.argmax(mean, axis=-1).astype(np.int16)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("folders", nargs="+", help=">= 2 prediction folders")
+    ap.add_argument("-o", "--output", required=True)
+    args = ap.parse_args(argv)
+    if len(args.folders) < 2:
+        raise SystemExit("need at least two prediction folders to ensemble")
+
+    def ids(folder):
+        return {f[:-4] for f in os.listdir(folder) if f.endswith(".npz")}
+
+    common = sorted(set.intersection(*[ids(f) for f in args.folders]))
+    if not common:
+        raise SystemExit("no common cases across the folders")
+    os.makedirs(args.output, exist_ok=True)
+    for cid in common:
+        probs = []
+        for folder in args.folders:
+            with np.load(os.path.join(folder, f"{cid}.npz")) as z:
+                if "probabilities" not in z.files:
+                    raise SystemExit(
+                        f"{folder}/{cid}.npz has no probabilities — predict "
+                        "with --save-probabilities"
+                    )
+                probs.append(z["probabilities"])
+        seg = ensemble_case(probs)
+        np.savez_compressed(os.path.join(args.output, f"{cid}.npz"), seg=seg)
+        print(f"ensembled {cid}: {seg.shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,11 @@ def main(argv=None):
         help="cascade: folder of previous-stage {case}.npz segs on this "
              "configuration's grid (from predict_next_stage or predict)",
     )
+    ap.add_argument(
+        "--save-probabilities", action="store_true",
+        help="also store the softmax probabilities (float16) in the output "
+             "npz — needed for ensembling (nextou_tpu.ensemble)",
+    )
     args = ap.parse_args(argv)
 
     from nextou_tpu.data import PreprocessedDataset
@@ -167,7 +172,10 @@ def main(argv=None):
             data = np.concatenate([data, hot.astype(np.float32)], axis=-1)
         probs = predictor(data)
         seg = np.argmax(probs, axis=-1).astype(np.int16)
-        np.savez_compressed(os.path.join(args.output, f"{cid}.npz"), seg=seg)
+        payload = {"seg": seg}
+        if args.save_probabilities:
+            payload["probabilities"] = probs.astype(np.float16)
+        np.savez_compressed(os.path.join(args.output, f"{cid}.npz"), **payload)
         print(f"predicted {cid}: {seg.shape}")
 
 
