@@ -23,6 +23,8 @@ from scipy import ndimage
 @dataclass
 class AugmentConfig:
     rotation_rad: tuple[float, ...] = (0.5235987755982988,) * 3  # ±30°
+    # anisotropic 3D patches: rotate in-plane only (nnU-Net's dummy-2D DA)
+    dummy_2d: bool = False
     p_rotation: float = 0.2
     scale_range: tuple[float, float] = (0.7, 1.4)
     p_scaling: float = 0.2
@@ -52,7 +54,14 @@ def _spatial(data, seg, cfg: AugmentConfig, rng: np.random.Generator):
     # build affine: rotation (per-axis Euler) composed with isotropic scale
     mat = np.eye(dim)
     if do_rot:
-        if dim == 3:
+        if dim == 3 and cfg.dummy_2d:
+            # rotate only within the in-plane axes (1, 2)
+            ang = rng.uniform(-cfg.rotation_rad[0], cfg.rotation_rad[0])
+            c, s = np.cos(ang), np.sin(ang)
+            r = np.eye(3)
+            r[1, 1], r[1, 2], r[2, 1], r[2, 2] = c, -s, s, c
+            mat = mat @ r
+        elif dim == 3:
             angles = [rng.uniform(-a, a) for a in cfg.rotation_rad[:3]]
             for axis_pair, ang in zip(((1, 2), (0, 2), (0, 1)), angles):
                 r = np.eye(3)
@@ -66,7 +75,10 @@ def _spatial(data, seg, cfg: AugmentConfig, rng: np.random.Generator):
             mat = mat @ np.array([[c, -s], [s, c]])
     if do_scale:
         scale = rng.uniform(*cfg.scale_range)
-        mat = mat * scale
+        if dim == 3 and cfg.dummy_2d:
+            mat = mat @ np.diag([1.0, scale, scale])
+        else:
+            mat = mat * scale
 
     center = (np.array(seg.shape) - 1) / 2.0
     offset = center - mat @ center

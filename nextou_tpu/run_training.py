@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--c", "--continue", dest="resume", action="store_true",
                     help="resume from checkpoint_latest")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument(
+        "--profile", type=int, default=0, metavar="N",
+        help="instead of training, capture a jax.profiler trace of N steps",
+    )
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     args = ap.parse_args(argv)
@@ -68,6 +72,9 @@ def main(argv=None):
                 "(checkpoint_latest is written every 50 epochs); "
                 "starting from scratch"
             )
+    if args.profile:
+        trainer.profile_steps(args.profile)
+        return
     trainer.run_training()
 
 

@@ -111,6 +111,30 @@ class NexToUTrainer:
         """Train-time mirror axes (all axes by default, nnU-Net style)."""
         return tuple(range(self.configuration_manager.spatial_dims))
 
+    def configure_rotation_dummyDA_mirroring_and_initial_patch_size(self):
+        """nnU-Net's DA-configuration hook (the reference's NoMirroring
+        trainers override it, ``nnUNetTrainer_NexToU_NoMirroring.py:5``):
+        rotation ranges depend on the patch aspect ratio, and strongly
+        anisotropic 3D patches get in-plane-only ('dummy 2D') spatial DA.
+
+        Returns (rotation_rad per axis, do_dummy_2d, mirror_axes).
+        """
+        patch = self.configuration_manager.patch_size
+        dim = len(patch)
+        if dim == 2:
+            do_dummy = False
+            if max(patch) / min(patch) > 1.5:
+                rot = (np.pi / 12.0,)  # ±15° for elongated patches
+            else:
+                rot = (np.pi,)  # ±180°
+        else:
+            do_dummy = max(patch) / patch[0] > 3  # ANISO_THRESHOLD
+            if do_dummy:
+                rot = (np.pi,) * 3  # in-plane only (dummy_2d), ±180°
+            else:
+                rot = (np.pi / 6.0,) * 3  # ±30°
+        return rot, do_dummy, self.configure_mirroring()
+
     def _loss_spec(self) -> CompoundLossSpec:
         """DC + CE (base nnUNetTrainer loss); TI/BTI trainers override."""
         return CompoundLossSpec(
@@ -254,9 +278,12 @@ class NexToUTrainer:
             val_ds, patch, self.batch_size,
             self.oversample_foreground_percent, seed=self.seed + 1,
         )
-        aug = AugmentConfig(mirror_axes=self.configure_mirroring())
-        if self.configuration_manager.spatial_dims == 2:
-            aug.rotation_rad = (np.pi,) * 1  # in-plane ±180° for 2D
+        rot, do_dummy, mirror = (
+            self.configure_rotation_dummyDA_mirroring_and_initial_patch_size()
+        )
+        aug = AugmentConfig(
+            rotation_rad=tuple(rot), dummy_2d=do_dummy, mirror_axes=mirror
+        )
         cascade = self.configuration_manager.previous_stage_name is not None
         onehot = (
             tuple(self.label_manager.foreground_labels) if cascade else None
@@ -281,6 +308,27 @@ class NexToUTrainer:
         os.makedirs(self.output_folder, exist_ok=True)
         with open(os.path.join(self.output_folder, "training_log.txt"), "a") as f:
             f.write(time.strftime("%Y-%m-%d %H:%M:%S ") + line + "\n")
+
+    def profile_steps(self, n_steps: int = 5, trace_dir: str | None = None):
+        """Capture a ``jax.profiler`` device trace of ``n_steps`` train steps
+        (view with TensorBoard / xprof). The rebuild's tracing subsystem —
+        the reference has none (SURVEY.md §5)."""
+        self.initialize()
+        train_loader, _ = self.get_dataloaders()
+        trace_dir = trace_dir or os.path.join(self.output_folder, "trace")
+        with train_loader:
+            it = iter(train_loader)
+            batch = next(it)
+            # compile outside the trace so the trace shows steady-state steps
+            self.state, _ = self.train_step(self.state, batch)
+            jax.block_until_ready(self.state.params)
+            with jax.profiler.trace(trace_dir):
+                for _ in range(n_steps):
+                    batch = next(it)
+                    self.state, m = self.train_step(self.state, batch)
+                jax.block_until_ready(m["loss"])
+        self.print_to_log_file(f"profiler trace written to {trace_dir}")
+        return trace_dir
 
     def run_training(self):
         self.initialize()
