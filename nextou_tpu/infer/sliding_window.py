@@ -14,6 +14,7 @@ Mirror combinations are static (compiled in), matching
 
 from __future__ import annotations
 
+import functools
 import itertools
 import math
 from typing import Callable, Sequence
@@ -99,6 +100,121 @@ def make_tile_predictor(
 
     sh = NamedSharding(mesh, P(mesh.axis_names))
     return jax.jit(predict, in_shardings=sh, out_shardings=sh)
+
+
+def make_device_sliding_predictor(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    mirror_axes: Sequence[int] | None,
+    patch_size: Sequence[int],
+    num_classes: int,
+    *,
+    tile_batch: int = 4,
+    use_gaussian: bool = True,
+):
+    """Fully device-resident sliding window: the volume is transferred to
+    HBM once; tile extraction (dynamic_slice), TTA forward, softmax,
+    Gaussian-weighted accumulation into logit/weight volumes, normalization
+    and argmax all run on device — host<->device traffic is one volume in,
+    one (seg or probs) out. This is the TPU-native serving path (SURVEY.md
+    §7); the host-accumulation path below remains the fallback for volumes
+    whose probability accumulator does not fit HBM.
+
+    Returns ``predict(data (*sp, C) np/jnp) -> (*sp, num_classes) f32``.
+    """
+    patch = tuple(patch_size)
+    dim = len(patch)
+    axes = tuple(mirror_axes) if mirror_axes else ()
+    combos = []
+    for r in range(len(axes) + 1):
+        combos.extend(itertools.combinations(axes, r))
+    gauss_np = (
+        gaussian_importance_map(patch)
+        if use_gaussian
+        else np.ones(patch, np.float32)
+    )
+
+    # Three small programs instead of one monolith (the model-sized program
+    # would recompile per volume shape and takes minutes on a tunneled TPU;
+    # split this way, only `extract`/`accumulate` — trivial compiles — depend
+    # on the volume shape, and the heavy TTA forward is shared across all
+    # volumes). Device arrays flow between jits without leaving HBM.
+
+    @jax.jit
+    def extract(vol, coords):
+        def one(c):
+            return jax.lax.dynamic_slice(
+                vol, (*c, 0), (*patch, vol.shape[-1])
+            )
+
+        return jax.vmap(one)(coords)  # (T, *patch, Cin)
+
+    @jax.jit
+    def tile_forward(tiles):
+        total = None
+        for combo in combos:
+            flip_dims = tuple(a + 1 for a in combo)
+            x = jnp.flip(tiles, flip_dims) if combo else tiles
+            logits = apply_fn(x)
+            if combo:
+                logits = jnp.flip(logits, flip_dims)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            total = probs if total is None else total + probs
+        return total / float(len(combos))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def accumulate(acc, weight, probs, coords, valid):
+        gauss = jnp.asarray(gauss_np)
+        w = valid.astype(jnp.float32)  # mask padded duplicate tiles
+
+        def body(i, carry):
+            acc, weight = carry
+            c = coords[i]
+            g = gauss * w[i]
+            sl = jax.lax.dynamic_slice(acc, (*c, 0), (*patch, num_classes))
+            acc = jax.lax.dynamic_update_slice(
+                acc, sl + probs[i] * g[..., None], (*c, 0)
+            )
+            ws = jax.lax.dynamic_slice(weight, c, patch)
+            weight = jax.lax.dynamic_update_slice(weight, ws + g, tuple(c))
+            return acc, weight
+
+        return jax.lax.fori_loop(0, coords.shape[0], body, (acc, weight))
+
+    def step(acc, weight, vol, coords, valid):
+        probs = tile_forward(extract(vol, coords))
+        return accumulate(acc, weight, probs, coords, valid)
+
+    @jax.jit
+    def finalize(acc, weight):
+        return acc / weight[..., None]
+
+    def predict(data) -> jax.Array:
+        spatial = data.shape[:-1]
+        pad = [(0, max(0, p - s)) for s, p in zip(spatial, patch)]
+        if any(p[1] for p in pad):
+            data = np.pad(np.asarray(data), pad + [(0, 0)])
+        psp = data.shape[:-1]
+        steps = compute_sliding_window_steps(psp, patch, 0.5)
+        coords = np.asarray(list(itertools.product(*steps)), np.int32)
+
+        vol = jnp.asarray(data)
+        acc = jnp.zeros((*psp, num_classes), jnp.float32)
+        weight = jnp.zeros(psp, jnp.float32)
+        for i in range(0, len(coords), tile_batch):
+            chunk = coords[i : i + tile_batch]
+            valid = np.ones(len(chunk), bool)
+            if len(chunk) < tile_batch:
+                n_pad = tile_batch - len(chunk)
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], n_pad, 0)])
+                valid = np.concatenate([valid, np.zeros(n_pad, bool)])
+            acc, weight = step(
+                acc, weight, vol, jnp.asarray(chunk), jnp.asarray(valid)
+            )
+        out = finalize(acc, weight)
+        sl = tuple(slice(0, s) for s in spatial)
+        return out[sl + (slice(None),)]
+
+    return predict
 
 
 def sliding_window_predict(

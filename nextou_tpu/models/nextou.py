@@ -165,6 +165,22 @@ class NexToU(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
 
+    def compute_conv_feature_map_size(self, input_size=None) -> int:
+        """Total conv output elements of a forward pass — the VRAM proxy
+        nnU-Net uses for auto-configuration (reference ``NexToU.py:59-63``).
+        ``input_size`` defaults to the spec's patch size."""
+        from nextou_tpu.plans.planner import compute_conv_feature_map_size
+
+        s = self.spec
+        return compute_conv_feature_map_size(
+            list(input_size or s.patch_size),
+            [st.features for st in s.encoder],
+            [list(st.stride) for st in s.encoder],
+            [st.n_conv + len(st.gnn) for st in s.encoder],
+            [st.n_conv + len(st.gnn) for st in s.decoder],
+            num_classes=s.num_classes,
+        )
+
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False):
         s = self.spec

@@ -44,8 +44,24 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None):
     )
     patch = spec.patch_size
     ncls = spec.num_classes
+    device_pred = None
+    if mesh is None:
+        from nextou_tpu.infer import make_device_sliding_predictor
+
+        device_pred = make_device_sliding_predictor(
+            apply_fn, trainer.inference_allowed_mirroring_axes, patch, ncls,
+            tile_batch=tile_batch,
+        )
+
+    # device-resident accumulation when the probability volume fits HBM
+    # (f32 acc + weight + volume, with headroom for the model itself)
+    ACC_BUDGET_BYTES = 4 << 30
 
     def predict(data: np.ndarray) -> np.ndarray:
+        vox = int(np.prod(data.shape[:-1]))
+        acc_bytes = vox * (ncls + 1 + data.shape[-1]) * 4
+        if device_pred is not None and acc_bytes <= ACC_BUDGET_BYTES:
+            return np.asarray(device_pred(data))
         return sliding_window_predict(
             tile_pred, data, patch, ncls, tile_batch=tile_batch, mesh=mesh
         )

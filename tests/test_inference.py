@@ -117,3 +117,37 @@ def test_predict_raw_case_geometry_roundtrip():
     )
     assert seg.shape == img.shape
     np.testing.assert_array_equal(seg == 1, img > 0)
+
+
+def test_device_sliding_window_matches_host_path():
+    """HBM-resident accumulation must equal the host-side accumulate."""
+    from nextou_tpu.infer import (
+        make_device_sliding_predictor,
+        make_tile_predictor,
+        sliding_window_predict,
+    )
+    from nextou_tpu.models import NexToU
+    from nextou_tpu.utils import fast_init
+    from tests.test_model import tiny_2d_spec
+    import jax
+    import jax.numpy as jnp
+
+    spec = tiny_2d_spec(deep_supervision=False)
+    model = NexToU(spec=spec, dtype=jnp.float32)
+    data = np.random.default_rng(9).standard_normal(
+        (43, 40, spec.in_channels)
+    ).astype(np.float32)  # unaligned + needs padding on one axis
+    x0 = jnp.zeros((1, *spec.patch_size, spec.in_channels), jnp.float32)
+    variables = fast_init(model, jax.random.PRNGKey(0), x0, train=False)
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
+
+    host = sliding_window_predict(
+        make_tile_predictor(apply_fn, (0, 1)),
+        data, spec.patch_size, spec.num_classes, tile_batch=3,
+    )
+    dev = make_device_sliding_predictor(
+        apply_fn, (0, 1), spec.patch_size, spec.num_classes, tile_batch=3
+    )(data)
+    np.testing.assert_allclose(np.asarray(dev), host, atol=3e-5)
