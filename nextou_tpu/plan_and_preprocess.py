@@ -111,6 +111,8 @@ def main(argv=None):
                     help="plan only, skip preprocessing")
     args = ap.parse_args(argv)
 
+    from nextou_tpu.paths import resolve_raw
+    args.raw_folder = resolve_raw(args.raw_folder)
     from nextou_tpu.plans.fingerprint import extract_fingerprint
     from nextou_tpu.plans.planner import plan_experiment
 

@@ -115,6 +115,8 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
+    from nextou_tpu.paths import resolve_preprocessed, resolve_raw
+    args.dataset_folder = (resolve_raw if args.raw else resolve_preprocessed)(args.dataset_folder)
     from nextou_tpu.data import PreprocessedDataset
     from nextou_tpu.plans.loader import load_dataset_json
     from nextou_tpu.train import get_trainer_class

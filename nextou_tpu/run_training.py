@@ -39,6 +39,8 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=None)
     args = ap.parse_args(argv)
 
+    from nextou_tpu.paths import resolve_preprocessed
+    args.dataset_folder = resolve_preprocessed(args.dataset_folder)
     from nextou_tpu.plans.loader import load_dataset_json
     from nextou_tpu.train import get_trainer_class
 
