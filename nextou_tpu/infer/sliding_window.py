@@ -110,6 +110,7 @@ def make_device_sliding_predictor(
     *,
     tile_batch: int = 4,
     use_gaussian: bool = True,
+    fused: bool = False,
 ):
     """Fully device-resident sliding window: the volume is transferred to
     HBM once; tile extraction (dynamic_slice), TTA forward, softmax,
@@ -118,6 +119,12 @@ def make_device_sliding_predictor(
     one (seg or probs) out. This is the TPU-native serving path (SURVEY.md
     §7); the host-accumulation path below remains the fallback for volumes
     whose probability accumulator does not fit HBM.
+
+    ``fused=True`` compiles the ENTIRE sliding window (all chunks, blending,
+    normalization) into one program dispatched once per volume — the lowest
+    possible per-volume latency, but the model is recompiled for every new
+    volume shape. Use for fixed-shape serving; the default split form shares
+    one model program across all volume shapes.
 
     Returns ``predict(data (*sp, C) np/jnp) -> (*sp, num_classes) f32``.
     """
@@ -139,8 +146,7 @@ def make_device_sliding_predictor(
     # on the volume shape, and the heavy TTA forward is shared across all
     # volumes). Device arrays flow between jits without leaving HBM.
 
-    @jax.jit
-    def extract(vol, coords):
+    def _extract(vol, coords):
         def one(c):
             return jax.lax.dynamic_slice(
                 vol, (*c, 0), (*patch, vol.shape[-1])
@@ -148,8 +154,7 @@ def make_device_sliding_predictor(
 
         return jax.vmap(one)(coords)  # (T, *patch, Cin)
 
-    @jax.jit
-    def tile_forward(tiles):
+    def _tile_forward(tiles):
         total = None
         for combo in combos:
             flip_dims = tuple(a + 1 for a in combo)
@@ -161,8 +166,7 @@ def make_device_sliding_predictor(
             total = probs if total is None else total + probs
         return total / float(len(combos))
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def accumulate(acc, weight, probs, coords, valid):
+    def _accumulate(acc, weight, probs, coords, valid):
         gauss = jnp.asarray(gauss_np)
         w = valid.astype(jnp.float32)  # mask padded duplicate tiles
 
@@ -180,13 +184,40 @@ def make_device_sliding_predictor(
 
         return jax.lax.fori_loop(0, coords.shape[0], body, (acc, weight))
 
-    def step(acc, weight, vol, coords, valid):
-        probs = tile_forward(extract(vol, coords))
-        return accumulate(acc, weight, probs, coords, valid)
+    extract = jax.jit(_extract)
+    tile_forward = jax.jit(_tile_forward)
+    accumulate = jax.jit(_accumulate, donate_argnums=(0, 1))
+    finalize = jax.jit(lambda acc, weight: acc / weight[..., None])
 
     @jax.jit
-    def finalize(acc, weight):
+    def run_fused(vol, coords, valid):
+        """One dispatch for the whole volume: lax loop over tile chunks."""
+        psp = vol.shape[:-1]
+        acc = jnp.zeros((*psp, num_classes), jnp.float32)
+        weight = jnp.zeros(psp, jnp.float32)
+
+        def chunk_body(i, carry):
+            acc, weight = carry
+            probs = _tile_forward(_extract(vol, coords[i]))
+            return _accumulate(acc, weight, probs, coords[i], valid[i])
+
+        acc, weight = jax.lax.fori_loop(
+            0, coords.shape[0], chunk_body, (acc, weight)
+        )
         return acc / weight[..., None]
+
+    def _chunks(coords):
+        chunks, valids = [], []
+        for i in range(0, len(coords), tile_batch):
+            chunk = coords[i : i + tile_batch]
+            valid = np.ones(len(chunk), bool)
+            if len(chunk) < tile_batch:
+                n_pad = tile_batch - len(chunk)
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], n_pad, 0)])
+                valid = np.concatenate([valid, np.zeros(n_pad, bool)])
+            chunks.append(chunk)
+            valids.append(valid)
+        return np.asarray(chunks, np.int32), np.asarray(valids)
 
     def predict(data) -> jax.Array:
         spatial = data.shape[:-1]
@@ -196,21 +227,21 @@ def make_device_sliding_predictor(
         psp = data.shape[:-1]
         steps = compute_sliding_window_steps(psp, patch, 0.5)
         coords = np.asarray(list(itertools.product(*steps)), np.int32)
+        chunks, valids = _chunks(coords)
 
         vol = jnp.asarray(data)
-        acc = jnp.zeros((*psp, num_classes), jnp.float32)
-        weight = jnp.zeros(psp, jnp.float32)
-        for i in range(0, len(coords), tile_batch):
-            chunk = coords[i : i + tile_batch]
-            valid = np.ones(len(chunk), bool)
-            if len(chunk) < tile_batch:
-                n_pad = tile_batch - len(chunk)
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], n_pad, 0)])
-                valid = np.concatenate([valid, np.zeros(n_pad, bool)])
-            acc, weight = step(
-                acc, weight, vol, jnp.asarray(chunk), jnp.asarray(valid)
-            )
-        out = finalize(acc, weight)
+        if fused:
+            out = run_fused(vol, jnp.asarray(chunks), jnp.asarray(valids))
+        else:
+            acc = jnp.zeros((*psp, num_classes), jnp.float32)
+            weight = jnp.zeros(psp, jnp.float32)
+            for chunk, valid in zip(chunks, valids):
+                acc, weight = accumulate(
+                    acc, weight,
+                    tile_forward(extract(vol, jnp.asarray(chunk))),
+                    jnp.asarray(chunk), jnp.asarray(valid),
+                )
+            out = finalize(acc, weight)
         sl = tuple(slice(0, s) for s in spatial)
         return out[sl + (slice(None),)]
 

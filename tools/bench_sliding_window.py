@@ -24,7 +24,16 @@ def main(which):
     def apply_fn(x):
         return model.apply(v, x, train=False)
     vol = np.random.default_rng(0).standard_normal((64, 280, 240, 1)).astype(np.float32)
-    if which == "device":
+    if which == "fused":
+        pred = make_device_sliding_predictor(apply_fn, None, spec.patch_size, spec.num_classes, tile_batch=2, fused=True)
+        t0 = time.perf_counter()
+        out = pred(vol); jax.block_until_ready(out)
+        print(f"compile+first-run {time.perf_counter()-t0:.0f}s", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = pred(vol); jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 3
+    elif which == "device":
         pred = make_device_sliding_predictor(apply_fn, None, spec.patch_size, spec.num_classes, tile_batch=2)
         t0 = time.perf_counter()
         out = pred(vol); jax.block_until_ready(out)  # compile + warm
