@@ -14,6 +14,7 @@ the torch reference is available).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -26,7 +27,7 @@ def _log(msg):
 
 A100_REFERENCE_EST = 6.0  # patches/s, provisional (see module docstring)
 
-BATCH = 2
+BATCH = int(os.environ.get("NEXTOU_BENCH_BATCH", "2"))
 WARMUP = 2
 ITERS = 8
 

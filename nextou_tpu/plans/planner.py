@@ -402,8 +402,6 @@ def plan_experiment(
     )
 
     # ---- 3d_lowres: raise spacing until the patch covers >= 1/4 ----------
-    if fr_cover < 1.0 / (1.0 / LOWRES_PATCH_COVERAGE):
-        pass  # placeholder to keep structure obvious
     cfg_lr = None
     if fr_cover < LOWRES_PATCH_COVERAGE:
         lr_spacing = list(target_t)
