@@ -14,7 +14,6 @@ Mirror combinations are static (compiled in), matching
 
 from __future__ import annotations
 
-import functools
 import itertools
 import math
 from typing import Callable, Sequence

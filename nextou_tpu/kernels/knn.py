@@ -25,7 +25,6 @@ Semantics notes:
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
