@@ -34,20 +34,32 @@ def soft_dice_loss(
         scalar loss = ``-mean(dice)``.
     """
     num_classes = logits.shape[-1]
+    B = logits.shape[0]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    onehot = jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
+    # memory-efficient statistics: never materialize the one-hot target —
+    # gather the true-class probability per voxel and scatter-add it (and
+    # the voxel counts) into per-class bins. Saves ~2 full-volume f32
+    # temporaries vs the one-hot formulation (the flagship train step
+    # otherwise exceeds a v5e chip's HBM).
+    flat_t = target.reshape(B, -1).astype(jnp.int32)
+    probs_flat = probs.reshape(B, -1, num_classes)
+    p_true = jnp.take_along_axis(probs_flat, flat_t[..., None], axis=-1)[..., 0]
+    ones = jnp.ones_like(p_true)
     if loss_mask is not None:
-        m = loss_mask.astype(jnp.float32)[..., None]
-        probs = probs * m
-        onehot = onehot * m
+        m = loss_mask.reshape(B, -1).astype(jnp.float32)
+        p_true = p_true * m
+        ones = m
+        probs_flat = probs_flat * m[..., None]
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    intersect = jnp.zeros((B, num_classes), jnp.float32).at[rows, flat_t].add(
+        p_true
+    )
+    sum_gt = jnp.zeros((B, num_classes), jnp.float32).at[rows, flat_t].add(ones)
+    sum_pred = jnp.sum(probs_flat, axis=1)
     if not do_bg:
-        probs = probs[..., 1:]
-        onehot = onehot[..., 1:]
-
-    spatial_axes = tuple(range(1, logits.ndim - 1))
-    intersect = jnp.sum(probs * onehot, axis=spatial_axes)  # (B, C')
-    sum_pred = jnp.sum(probs, axis=spatial_axes)
-    sum_gt = jnp.sum(onehot, axis=spatial_axes)
+        intersect = intersect[:, 1:]
+        sum_gt = sum_gt[:, 1:]
+        sum_pred = sum_pred[:, 1:]
 
     if axis_name is not None:
         intersect = jax.lax.psum(intersect, axis_name)

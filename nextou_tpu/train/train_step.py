@@ -31,6 +31,11 @@ def make_train_step(
     """Returns ``train_step(state, batch) -> (state, metrics)``.
 
     ``batch`` = {'data': (B, *sp, C) float, 'seg': (B, *sp) int}.
+
+    The input ``state`` is DONATED (its buffers are reused for the new
+    state — params + optimizer momentum are ~0.5 GB at flagship size):
+    always use the ``state = train_step(state, batch)`` pattern and do not
+    touch the old state afterwards on TPU/GPU backends.
     """
 
     def loss_fn(params, state: TrainState, rngs, batch):
@@ -56,7 +61,7 @@ def make_train_step(
         )
         return loss, mutated.get("batch_stats", state.batch_stats)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
         rng, dropout_rng, graph_rng = jax.random.split(state.rng, 3)
         rngs = {"dropout": dropout_rng, "graph": graph_rng}

@@ -1,0 +1,46 @@
+"""Flagship train-step throughput (fwd+bwd+update, bf16+remat) on TPU."""
+import sys
+sys.path.insert(0, "/root/repo")
+from nextou_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+import numpy as np, jax, jax.numpy as jnp
+
+def main():
+    from nextou_tpu.models import NexToU
+    from nextou_tpu.models.presets import flagship_3d_spec
+    from nextou_tpu.losses import CompoundLossSpec
+    from nextou_tpu.train import make_train_step, create_train_state, make_optimizer
+    from nextou_tpu.train.optimizer import poly_lr
+    from nextou_tpu.losses.deep_supervision import deep_supervision_weights
+    from nextou_tpu.utils import fast_init
+    from nextou_tpu.utils.timing import device_loop_time
+    import time
+
+    spec = flagship_3d_spec(deep_supervision=True)
+    model = NexToU(spec=spec, dtype=jnp.bfloat16, remat=True)
+    import os
+    B = int(os.environ.get("NEXTOU_TRAIN_BENCH_BATCH", "1"))
+    x = jnp.zeros((B, *spec.patch_size, spec.in_channels), jnp.float32)
+    opt = make_optimizer(poly_lr(1e-2, 1000, 0.9, steps_per_epoch=250),
+                         weight_decay=3e-5, clip_norm=12.0)
+    t0 = time.perf_counter()
+    state = create_train_state(model, opt, x[:1], jax.random.PRNGKey(0))
+    state = jax.device_put(state); jax.block_until_ready(state.params)
+    print(f"init {time.perf_counter()-t0:.0f}s", flush=True)
+    loss_spec = CompoundLossSpec(weight_ce=1.0, weight_dice=1.0, weight_ti=0.0,
+                                 batch_dice=True, smooth=1e-5, do_bg=False)
+    step = make_train_step(model, opt, loss_spec, deep_supervision_weights(len(spec.decoder)))
+    seg = jnp.zeros((B, *spec.patch_size), jnp.int32)
+    batch = {"data": x, "seg": seg}
+    t0 = time.perf_counter()
+    state, m = step(state, batch); jax.block_until_ready(m["loss"])
+    print(f"compile+first {time.perf_counter()-t0:.0f}s", flush=True)
+    t0 = time.perf_counter()
+    N = 10
+    for _ in range(N):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / N
+    print(f"train step: {dt*1e3:.0f} ms ({B} patches) -> {B/dt:.2f} patches/s", flush=True)
+
+main()
