@@ -24,9 +24,15 @@ import jax.numpy as jnp
 
 def _l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     """L2-normalize along ``axis`` (matches ``F.normalize(p=2)`` semantics,
-    reference ``torch_edge.py:154-160``: norm clamped below by eps)."""
-    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(n, eps)
+    reference ``torch_edge.py:154-160``: norm clamped below by eps).
+
+    The clamp lives INSIDE the sqrt: ``sqrt(max(ss, eps^2))`` equals
+    ``max(sqrt(ss), eps)`` exactly, but its gradient is zero (not NaN) for
+    all-zero vectors — ``d sqrt/d ss`` is infinite at 0 and ``inf * 0``
+    poisons the whole gradient otherwise."""
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return x / n
 
 
 def pairwise_sq_dist(x: jax.Array) -> jax.Array:

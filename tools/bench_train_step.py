@@ -20,7 +20,8 @@ def main():
     model = NexToU(spec=spec, dtype=jnp.bfloat16, remat=True)
     import os
     B = int(os.environ.get("NEXTOU_TRAIN_BENCH_BATCH", "1"))
-    x = jnp.zeros((B, *spec.patch_size, spec.in_channels), jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, *spec.patch_size, spec.in_channels)), jnp.float32)
     opt = make_optimizer(poly_lr(1e-2, 1000, 0.9, steps_per_epoch=250),
                          weight_decay=3e-5, clip_norm=12.0)
     t0 = time.perf_counter()
@@ -30,17 +31,19 @@ def main():
     loss_spec = CompoundLossSpec(weight_ce=1.0, weight_dice=1.0, weight_ti=0.0,
                                  batch_dice=True, smooth=1e-5, do_bg=False)
     step = make_train_step(model, opt, loss_spec, deep_supervision_weights(len(spec.decoder)))
-    seg = jnp.zeros((B, *spec.patch_size), jnp.int32)
+    seg = jnp.asarray(rng.integers(0, 14, (B, *spec.patch_size)), jnp.int32)
     batch = {"data": x, "seg": seg}
     t0 = time.perf_counter()
-    state, m = step(state, batch); jax.block_until_ready(m["loss"])
+    state, m = step(state, batch)
+    _ = float(m["loss"])  # host fetch: genuinely waits (tunnel block_until_ready does not)
     print(f"compile+first {time.perf_counter()-t0:.0f}s", flush=True)
     t0 = time.perf_counter()
-    N = 10
+    N = 20
     for _ in range(N):
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
+    loss_val = float(m["loss"])  # forces completion of the whole chain
     dt = (time.perf_counter() - t0) / N
+    print(f"final loss {loss_val:.4f}", flush=True)
     print(f"train step: {dt*1e3:.0f} ms ({B} patches) -> {B/dt:.2f} patches/s", flush=True)
 
 main()
