@@ -56,12 +56,17 @@ def test_sharded_train_step_matches_single_device():
         "seg": rng.integers(0, 3, (8, 64, 64)).astype(np.int32),
     }
 
+    # the train step DONATES its input state, and device_put with an
+    # unchanged sharding can alias buffers — build an independent,
+    # identically-seeded state for the sharded run
+    mesh = make_mesh()
+    state2 = create_train_state(model, opt, x[:1], jax.random.PRNGKey(0))
+    state_r = replicate(mesh, state2)
+
     # single device
     s1, m1 = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
 
-    # 8-device mesh: replicate state, shard batch
-    mesh = make_mesh()
-    state_r = replicate(mesh, state)
+    # 8-device mesh: replicated state, sharded batch
     batch_s = shard_batch(mesh, batch)
     s8, m8 = step(state_r, batch_s)
 
