@@ -53,49 +53,60 @@ def preprocess_dataset(
             if f.endswith(ending)
         )
 
-    for config_name in configurations:
-        cm = pm.get_configuration(config_name)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one_case(config_name, cm, dest, cid):
         dim = cm.spatial_dims
         target = cm.spacing
-        dest = os.path.join(out_folder, cm.data_identifier or config_name)
-        os.makedirs(dest, exist_ok=True)
-        for cid in case_ids:
-            seg, _ = read_image(
-                os.path.join(raw_folder, "labelsTr", f"{cid}{ending}")
+        seg, _ = read_image(
+            os.path.join(raw_folder, "labelsTr", f"{cid}{ending}")
+        )
+        chans, spacing = [], None
+        for c in range(len(channels)):
+            arr, sp = read_image(
+                os.path.join(raw_folder, "imagesTr", f"{cid}_{c:04d}{ending}")
             )
-            chans, spacing = [], None
-            for c in range(len(channels)):
-                arr, sp = read_image(
-                    os.path.join(
-                        raw_folder, "imagesTr", f"{cid}_{c:04d}{ending}"
-                    )
+            chans.append(arr)
+            spacing = sp or spacing
+        data = np.stack(chans)
+        if not spacing:
+            spacing = (1.0,) * seg.ndim
+        spacing = list(spacing)
+        if fwd and len(fwd) == seg.ndim:
+            data = np.transpose(data, [0] + [f + 1 for f in fwd])
+            seg = np.transpose(seg, fwd)
+            spacing = [spacing[f] for f in fwd]
+        # 2d configs resample in-plane only; keep the leading axis
+        tgt = list(target)
+        if dim == 2 and seg.ndim == 3:
+            tgt = [spacing[0]] + tgt
+        pdata, pseg, props = preprocess_case(
+            data,
+            seg,
+            spacing,
+            tgt,
+            use_mask_for_norm=cm.use_mask_for_norm,
+            normalization_schemes=cm.normalization_schemes,
+            intensity_props=intensity,
+        )
+        save_case(dest, cid, pdata, pseg, properties=props)
+        if verbose:
+            print(f"[{config_name}] {cid}: {pdata.shape}", flush=True)
+
+    # worker threads stand in for nnU-Net's preprocessing process pool
+    # (scipy/np release the GIL for the heavy resampling)
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+        futures = []
+        for config_name in configurations:
+            cm = pm.get_configuration(config_name)
+            dest = os.path.join(out_folder, cm.data_identifier or config_name)
+            os.makedirs(dest, exist_ok=True)
+            for cid in case_ids:
+                futures.append(
+                    ex.submit(one_case, config_name, cm, dest, cid)
                 )
-                chans.append(arr)
-                spacing = sp or spacing
-            data = np.stack(chans)
-            if not spacing:
-                spacing = (1.0,) * seg.ndim
-            spacing = list(spacing)
-            if fwd and len(fwd) == seg.ndim:
-                data = np.transpose(data, [0] + [f + 1 for f in fwd])
-                seg = np.transpose(seg, fwd)
-                spacing = [spacing[f] for f in fwd]
-            # 2d configs resample in-plane only; keep the leading axis
-            tgt = list(target)
-            if dim == 2 and seg.ndim == 3:
-                tgt = [spacing[0]] + tgt
-            pdata, pseg, props = preprocess_case(
-                data,
-                seg,
-                spacing,
-                tgt,
-                use_mask_for_norm=cm.use_mask_for_norm,
-                normalization_schemes=cm.normalization_schemes,
-                intensity_props=intensity,
-            )
-            save_case(dest, cid, pdata, pseg, properties=props)
-            if verbose:
-                print(f"[{config_name}] {cid}: {pdata.shape}")
+        for f in futures:
+            f.result()
 
 
 def main(argv=None):

@@ -35,6 +35,11 @@ def main(argv=None):
         "--profile", type=int, default=0, metavar="N",
         help="instead of training, capture a jax.profiler trace of N steps",
     )
+    ap.add_argument(
+        "--val", action="store_true",
+        help="skip training: load checkpoint_final and run the final "
+             "validation (sliding-window prediction + summary.json)",
+    )
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     args = ap.parse_args(argv)
@@ -77,7 +82,13 @@ def main(argv=None):
     if args.profile:
         trainer.profile_steps(args.profile)
         return
+    if args.val:
+        final = os.path.join(output, "checkpoint_final.ckpt")
+        trainer.load_checkpoint(final)
+        trainer.perform_actual_validation()
+        return
     trainer.run_training()
+    trainer.perform_actual_validation()
 
 
 if __name__ == "__main__":
