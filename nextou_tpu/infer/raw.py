@@ -35,6 +35,7 @@ def predict_raw_case(
     transpose_forward: Sequence[int] | None = None,
     transpose_backward: Sequence[int] | None = None,
     prev_onehot: np.ndarray | None = None,
+    label_manager=None,
 ) -> np.ndarray:
     """images: (C, *sp) raw; returns (*sp) int16 seg at original geometry.
 
@@ -77,7 +78,10 @@ def predict_raw_case(
             ],
             axis=-1,
         )
-    seg_crop = np.argmax(probs, axis=-1).astype(np.int16)
+    if label_manager is not None:
+        seg_crop = label_manager.convert_probabilities_to_segmentation(probs)
+    else:
+        seg_crop = np.argmax(probs, axis=-1).astype(np.int16)
 
     # revert crop
     seg = np.zeros(orig_shape, np.int16)
@@ -143,6 +147,7 @@ def predict_raw_folder(
             intensity_props=intensity,
             transpose_forward=plans_manager.transpose_forward or None,
             transpose_backward=plans_manager.transpose_backward or None,
+            label_manager=plans_manager.get_label_manager(dataset_json),
         )
         out = os.path.join(output_folder, f"{cid}{ending}")
         write_nifti(out, seg, spacing=spacing)

@@ -59,10 +59,20 @@ def gaussian_importance_map(
     return g.astype(np.float32)
 
 
+def _activation_fn(name: str):
+    """'softmax' (label mode) or 'sigmoid' (region-based training)."""
+    if name == "softmax":
+        return lambda x: jax.nn.softmax(x, axis=-1)
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    raise ValueError(f"unknown activation '{name}'")
+
+
 def make_tile_predictor(
     apply_fn: Callable[[jax.Array], jax.Array],
     mirror_axes: Sequence[int] | None,
     mesh: "jax.sharding.Mesh | None" = None,
+    activation: str = "softmax",
 ) -> Callable[[jax.Array], jax.Array]:
     """Wrap a logits function into a jitted softmax+TTA tile predictor.
 
@@ -80,6 +90,7 @@ def make_tile_predictor(
     combos = []
     for r in range(len(axes) + 1):
         combos.extend(itertools.combinations(axes, r))
+    act = _activation_fn(activation)
 
     def predict(tiles: jax.Array) -> jax.Array:
         total = None
@@ -89,7 +100,7 @@ def make_tile_predictor(
             logits = apply_fn(x)
             if combo:
                 logits = jnp.flip(logits, flip_dims)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = act(logits.astype(jnp.float32))
             total = probs if total is None else total + probs
         return total / float(len(combos))
 
@@ -110,6 +121,7 @@ def make_device_sliding_predictor(
     tile_batch: int = 4,
     use_gaussian: bool = True,
     fused: bool = False,
+    activation: str = "softmax",
 ):
     """Fully device-resident sliding window: the volume is transferred to
     HBM once; tile extraction (dynamic_slice), TTA forward, softmax,
@@ -138,6 +150,7 @@ def make_device_sliding_predictor(
         if use_gaussian
         else np.ones(patch, np.float32)
     )
+    act = _activation_fn(activation)
 
     # Three small programs instead of one monolith (the model-sized program
     # would recompile per volume shape and takes minutes on a tunneled TPU;
@@ -161,7 +174,7 @@ def make_device_sliding_predictor(
             logits = apply_fn(x)
             if combo:
                 logits = jnp.flip(logits, flip_dims)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = act(logits.astype(jnp.float32))
             total = probs if total is None else total + probs
         return total / float(len(combos))
 

@@ -28,6 +28,24 @@ class CompoundLossSpec:
     do_bg: bool = False
     ignore_label: int | None = None
     ti: TILossSpec | None = None
+    # region-based training (nnU-Net's list-valued labels +
+    # regions_class_order): one sigmoid channel per region; Dice on binary
+    # region masks + BCE instead of softmax Dice + CE.
+    regions: tuple[tuple[int, ...], ...] | None = None
+
+
+def region_targets(
+    target: jax.Array, regions: tuple[tuple[int, ...], ...]
+) -> jax.Array:
+    """(B, *sp) int labels -> (B, *sp, R) binary region masks
+    (membership over each region's label set, torch.isin-equivalent)."""
+    masks = []
+    for region in regions:
+        m = jnp.zeros(target.shape, bool)
+        for l in region:
+            m = m | (target == l)
+        masks.append(m)
+    return jnp.stack(masks, axis=-1)
 
 
 def dc_ce_ti_loss(
@@ -50,6 +68,30 @@ def dc_ce_ti_loss(
     else:
         target_dice = target
         loss_mask = None
+
+    if spec.regions is not None:
+        from nextou_tpu.losses.dice import region_soft_dice_loss
+
+        tgt_r = region_targets(target_dice, spec.regions).astype(jnp.float32)
+        total = jnp.zeros((), jnp.float32)
+        if spec.weight_dice != 0:
+            total = total + spec.weight_dice * region_soft_dice_loss(
+                logits, tgt_r,
+                batch_dice=spec.batch_dice, smooth=spec.smooth,
+                loss_mask=loss_mask, axis_name=axis_name,
+            )
+        if spec.weight_ce != 0:  # BCE plays CE's role in region mode
+            logp = jax.nn.log_sigmoid(logits.astype(jnp.float32))
+            logq = jax.nn.log_sigmoid(-logits.astype(jnp.float32))
+            bce = -(tgt_r * logp + (1.0 - tgt_r) * logq)
+            if loss_mask is not None:
+                m = loss_mask.astype(jnp.float32)[..., None]
+                total = total + spec.weight_ce * (
+                    jnp.sum(bce * m) / jnp.clip(jnp.sum(m) * bce.shape[-1], min=1.0)
+                )
+            else:
+                total = total + spec.weight_ce * jnp.mean(bce)
+        return total
 
     total = jnp.zeros((), jnp.float32)
     if spec.weight_dice != 0:

@@ -75,3 +75,44 @@ def soft_dice_loss(
         sum_gt + sum_pred + smooth, min=1e-8
     )
     return -jnp.mean(dc)
+
+
+def region_soft_dice_loss(
+    logits: jax.Array,
+    target_regions: jax.Array,
+    *,
+    batch_dice: bool = False,
+    smooth: float = 1e-5,
+    loss_mask: jax.Array | None = None,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Sigmoid (multi-label) soft Dice for region-based training.
+
+    nnU-Net's region mode (dataset.json labels with list values +
+    regions_class_order): one sigmoid channel per region, Dice on the
+    binary region masks; there is no background channel.
+
+    Args:
+        logits: ``(B, *sp, R)``.
+        target_regions: ``(B, *sp, R)`` binary {0,1}.
+    """
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    tgt = target_regions.astype(jnp.float32)
+    if loss_mask is not None:
+        m = loss_mask.astype(jnp.float32)[..., None]
+        probs = probs * m
+        tgt = tgt * m
+    spatial = tuple(range(1, logits.ndim - 1))
+    intersect = jnp.sum(probs * tgt, axis=spatial)
+    sum_pred = jnp.sum(probs, axis=spatial)
+    sum_gt = jnp.sum(tgt, axis=spatial)
+    if axis_name is not None:
+        intersect = jax.lax.psum(intersect, axis_name)
+        sum_pred = jax.lax.psum(sum_pred, axis_name)
+        sum_gt = jax.lax.psum(sum_gt, axis_name)
+    if batch_dice:
+        intersect = jnp.sum(intersect, axis=0)
+        sum_pred = jnp.sum(sum_pred, axis=0)
+        sum_gt = jnp.sum(sum_gt, axis=0)
+    dice = (2.0 * intersect + smooth) / (sum_pred + sum_gt + smooth)
+    return -jnp.mean(dice)

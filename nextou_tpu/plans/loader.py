@@ -109,10 +109,12 @@ class ConfigurationManager:
 
 
 class LabelManager:
-    """Label bookkeeping from dataset.json (subset of nnU-Net's LabelManager).
+    """Label bookkeeping from dataset.json (nnU-Net's LabelManager surface).
 
-    Supports plain integer labels and 'region' labels are out of scope for v1
-    (none of the reference datasets use them).
+    Supports plain integer labels and region-based labels (list values +
+    ``regions_class_order``): in region mode the network gets one sigmoid
+    head per region (no background head) and predictions are converted back
+    to labels by painting the regions in order.
     """
 
     def __init__(self, dataset_json: dict[str, Any]):
@@ -123,15 +125,47 @@ class LabelManager:
     @cached_property
     def all_labels(self) -> list[int]:
         vals = []
-        for v in self.label_dict.values():
+        for k, v in self.label_dict.items():
+            if k == "ignore":
+                continue
             if isinstance(v, (list, tuple)):
                 vals.extend(int(x) for x in v)
             else:
                 vals.append(int(v))
         return sorted(set(vals))
 
+    @cached_property
+    def has_regions(self) -> bool:
+        return any(
+            isinstance(v, (list, tuple)) and len(v) > 1
+            for k, v in self.label_dict.items()
+            if k != "ignore"
+        )
+
+    @cached_property
+    def foreground_regions(self) -> list[tuple[int, ...]]:
+        """Region label-sets in dataset.json order, background excluded."""
+        out = []
+        for k, v in self.label_dict.items():
+            if k in ("background", "ignore"):
+                continue
+            if isinstance(v, (list, tuple)):
+                out.append(tuple(int(x) for x in v))
+            else:
+                out.append((int(v),))
+        return out
+
+    @property
+    def regions_class_order(self) -> list[int]:
+        order = self.dataset_json.get("regions_class_order")
+        if order is not None:
+            return [int(x) for x in order]
+        return self.foreground_labels
+
     @property
     def num_segmentation_heads(self) -> int:
+        if self.has_regions:
+            return len(self.foreground_regions)
         return len(self.all_labels)
 
     @property
@@ -142,6 +176,23 @@ class LabelManager:
     def ignore_label(self) -> int | None:
         v = self.label_dict.get("ignore")
         return int(v) if v is not None else None
+
+    def convert_probabilities_to_segmentation(self, probs) -> Any:
+        """(\\*sp, H) probabilities -> (\\*sp) int labels.
+
+        Region mode: threshold each sigmoid region channel at 0.5 and paint
+        the corresponding ``regions_class_order`` label, later regions
+        overwriting earlier ones (nnU-Net semantics). Label mode: argmax.
+        """
+        import numpy as np
+
+        probs = np.asarray(probs)
+        if not self.has_regions:
+            return np.argmax(probs, axis=-1).astype(np.int16)
+        seg = np.zeros(probs.shape[:-1], np.int16)
+        for i, label in enumerate(self.regions_class_order):
+            seg[probs[..., i] > 0.5] = label
+        return seg
 
 
 class PlansManager:

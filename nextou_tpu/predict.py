@@ -39,8 +39,12 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None):
     def apply_fn(x):
         return model.apply(variables, x, train=False)
 
+    activation = (
+        "sigmoid" if trainer.label_manager.has_regions else "softmax"
+    )
     tile_pred = make_tile_predictor(
-        apply_fn, trainer.inference_allowed_mirroring_axes, mesh=mesh
+        apply_fn, trainer.inference_allowed_mirroring_axes, mesh=mesh,
+        activation=activation,
     )
     patch = spec.patch_size
     ncls = spec.num_classes
@@ -50,7 +54,7 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None):
 
         device_pred = make_device_sliding_predictor(
             apply_fn, trainer.inference_allowed_mirroring_axes, patch, ncls,
-            tile_batch=tile_batch,
+            tile_batch=tile_batch, activation=activation,
         )
 
     # device-resident accumulation when the probability volume fits HBM
@@ -73,7 +77,7 @@ def predict_case(trainer, data_chw: np.ndarray, tile_batch: int = 2) -> np.ndarr
     """data (C, *sp) preprocessed -> argmax segmentation (*sp) int16."""
     predictor = build_predictor(trainer, tile_batch)
     probs = predictor(np.moveaxis(data_chw, 0, -1))
-    return np.argmax(probs, axis=-1).astype(np.int16)
+    return trainer.label_manager.convert_probabilities_to_segmentation(probs)
 
 
 def main(argv=None):
@@ -189,7 +193,7 @@ def main(argv=None):
             hot = np.stack([prev == l for l in fg_labels], axis=-1)
             data = np.concatenate([data, hot.astype(np.float32)], axis=-1)
         probs = predictor(data)
-        seg = np.argmax(probs, axis=-1).astype(np.int16)
+        seg = trainer.label_manager.convert_probabilities_to_segmentation(probs)
         payload = {"seg": seg}
         if args.save_probabilities:
             payload["probabilities"] = probs.astype(np.float16)

@@ -105,16 +105,29 @@ def make_eval_step(
         )
         logits = outs[0]
         num_classes = logits.shape[-1]
-        pred = jnp.argmax(logits, axis=-1)
         seg = batch["seg"]
-        axes = tuple(range(pred.ndim))
         tp, fp, fn = [], [], []
-        for c in range(1, num_classes):
-            p = pred == c
-            g = seg == c
-            tp.append(jnp.sum(p & g, axis=axes))
-            fp.append(jnp.sum(p & ~g, axis=axes))
-            fn.append(jnp.sum(~p & g, axis=axes))
+        if loss_spec.regions is not None:
+            # region mode: sigmoid > 0.5 per channel (logit > 0)
+            from nextou_tpu.losses.compound import region_targets
+
+            gt = region_targets(seg, loss_spec.regions)
+            axes = tuple(range(seg.ndim))
+            for i in range(len(loss_spec.regions)):
+                p = logits[..., i] > 0
+                g = gt[..., i]
+                tp.append(jnp.sum(p & g, axis=axes))
+                fp.append(jnp.sum(p & ~g, axis=axes))
+                fn.append(jnp.sum(~p & g, axis=axes))
+        else:
+            pred = jnp.argmax(logits, axis=-1)
+            axes = tuple(range(pred.ndim))
+            for c in range(1, num_classes):
+                p = pred == c
+                g = seg == c
+                tp.append(jnp.sum(p & g, axis=axes))
+                fp.append(jnp.sum(p & ~g, axis=axes))
+                fn.append(jnp.sum(~p & g, axis=axes))
         return {
             "loss": loss,
             "tp": jnp.stack(tp),

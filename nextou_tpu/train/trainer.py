@@ -136,7 +136,13 @@ class NexToUTrainer:
         return rot, do_dummy, self.configure_mirroring()
 
     def _loss_spec(self) -> CompoundLossSpec:
-        """DC + CE (base nnUNetTrainer loss); TI/BTI trainers override."""
+        """DC + CE (base nnUNetTrainer loss); TI/BTI trainers override.
+        Region-based datasets switch to sigmoid region-Dice + BCE."""
+        regions = (
+            tuple(self.label_manager.foreground_regions)
+            if self.label_manager.has_regions
+            else None
+        )
         return CompoundLossSpec(
             weight_ce=1.0,
             weight_dice=1.0,
@@ -145,6 +151,7 @@ class NexToUTrainer:
             smooth=1e-5,
             do_bg=False,
             ignore_label=self.label_manager.ignore_label,
+            regions=regions,
         )
 
     def build_network_spec(self):
@@ -455,7 +462,9 @@ class NexToUTrainer:
                 hot = np.stack([case.seg_prev == l for l in fg], axis=-1)
                 data = np.concatenate([data, hot.astype(np.float32)], axis=-1)
             probs = predictor(data)
-            seg = np.argmax(probs, axis=-1).astype(np.int16)
+            seg = self.label_manager.convert_probabilities_to_segmentation(
+                probs
+            )
             cases.append((seg, case.seg, cid))
         labels = self.label_manager.all_labels
         summary = evaluate_cases(
