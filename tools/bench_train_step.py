@@ -6,6 +6,7 @@ enable_compilation_cache()
 import numpy as np, jax, jax.numpy as jnp
 
 def main():
+    import os
     from nextou_tpu.models import NexToU
     from nextou_tpu.models.presets import flagship_3d_spec
     from nextou_tpu.losses import CompoundLossSpec
@@ -17,7 +18,7 @@ def main():
     import time
 
     spec = flagship_3d_spec(deep_supervision=True)
-    model = NexToU(spec=spec, dtype=jnp.bfloat16, remat=True)
+    model = NexToU(spec=spec, dtype=jnp.bfloat16, remat=os.environ.get("NEXTOU_BENCH_REMAT", "1") == "1")
     import os
     B = int(os.environ.get("NEXTOU_TRAIN_BENCH_BATCH", "1"))
     rng = np.random.default_rng(0)
