@@ -64,7 +64,7 @@ class NexToUTrainer:
         output_folder: str = "./nextou_output",
         *,
         compute_dtype: Any = jnp.bfloat16,
-        remat: bool = True,
+        remat: bool | str = "auto",
         seed: int = 12345,
         num_epochs: int | None = None,
         num_iterations_per_epoch: int | None = None,
@@ -204,6 +204,20 @@ class NexToUTrainer:
         if self._initialized:
             return self
         self.model_spec = self.build_network_spec()
+        if self.remat == "auto":
+            # remat costs ~1.3x step time; skip it when the activation
+            # footprint (feature-map elements x batch x bf16, with backward
+            # headroom) fits comfortably in one chip's HBM
+            net_probe = NexToU(spec=self.model_spec)
+            est = (
+                net_probe.compute_conv_feature_map_size()
+                * self.batch_size * 2 * 6
+            )
+            self.remat = est > 12 * 1024**3
+            self.print_to_log_file(
+                f"auto remat: {'on' if self.remat else 'off'} "
+                f"(activation estimate {est / 1024**3:.1f} GiB)"
+            )
         self.network = NexToU(
             spec=self.model_spec, dtype=self.compute_dtype, remat=self.remat
         )
