@@ -15,8 +15,10 @@ import os
 import numpy as np
 
 
-def ensemble_case(prob_list: list[np.ndarray]) -> np.ndarray:
+def ensemble_case(prob_list: list[np.ndarray], label_manager=None) -> np.ndarray:
     mean = np.mean([p.astype(np.float32) for p in prob_list], axis=0)
+    if label_manager is not None:
+        return label_manager.convert_probabilities_to_segmentation(mean)
     return np.argmax(mean, axis=-1).astype(np.int16)
 
 
@@ -24,6 +26,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("folders", nargs="+", help=">= 2 prediction folders")
     ap.add_argument("-o", "--output", required=True)
+    ap.add_argument(
+        "-djfile", "--dataset-json", default=None,
+        help="dataset.json — REQUIRED for region-based datasets so the "
+             "averaged sigmoid probabilities convert back to labels "
+             "correctly (otherwise argmax)",
+    )
     args = ap.parse_args(argv)
     if len(args.folders) < 2:
         raise SystemExit("need at least two prediction folders to ensemble")
@@ -34,6 +42,14 @@ def main(argv=None):
     common = sorted(set.intersection(*[ids(f) for f in args.folders]))
     if not common:
         raise SystemExit("no common cases across the folders")
+    lm = None
+    if args.dataset_json:
+        import json
+
+        from nextou_tpu.plans.loader import LabelManager
+
+        with open(args.dataset_json) as f:
+            lm = LabelManager(json.load(f))
     os.makedirs(args.output, exist_ok=True)
     for cid in common:
         probs = []
@@ -45,7 +61,7 @@ def main(argv=None):
                         "with --save-probabilities"
                     )
                 probs.append(z["probabilities"])
-        seg = ensemble_case(probs)
+        seg = ensemble_case(probs, lm)
         np.savez_compressed(os.path.join(args.output, f"{cid}.npz"), seg=seg)
         print(f"ensembled {cid}: {seg.shape}")
 
