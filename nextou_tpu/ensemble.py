@@ -1,8 +1,11 @@
 """Ensemble predictions from multiple models/configurations.
 
-The substrate's ``nnUNetv2_ensemble`` equivalent: average the saved softmax
+The substrate's ``nnUNetv2_ensemble`` equivalent: average the saved
 probabilities (``predict --save-probabilities``) from two or more prediction
-folders and write the argmax segmentation.
+folders and convert to a segmentation — argmax for plain-label datasets,
+threshold + regions_class_order painting for region-based ones. The label
+semantics come from dataset.json, auto-discovered in the prediction folders
+(predict writes it there) or passed via ``-djfile``.
 
     python -m nextou_tpu.ensemble FOLDER1 FOLDER2 [...] -o OUT_FOLDER
 """
@@ -42,14 +45,27 @@ def main(argv=None):
     common = sorted(set.intersection(*[ids(f) for f in args.folders]))
     if not common:
         raise SystemExit("no common cases across the folders")
+    import json
+
+    from nextou_tpu.plans.loader import LabelManager
+
+    dj_path = args.dataset_json
+    if dj_path is None:  # predict drops dataset.json next to its outputs
+        for folder in args.folders:
+            cand = os.path.join(folder, "dataset.json")
+            if os.path.exists(cand):
+                dj_path = cand
+                break
     lm = None
-    if args.dataset_json:
-        import json
-
-        from nextou_tpu.plans.loader import LabelManager
-
-        with open(args.dataset_json) as f:
+    if dj_path is not None:
+        with open(dj_path) as f:
             lm = LabelManager(json.load(f))
+    else:
+        print(
+            "WARNING: no dataset.json found in the prediction folders and "
+            "-djfile not given — assuming plain labels (argmax). For "
+            "region-based datasets this produces WRONG segmentations."
+        )
     os.makedirs(args.output, exist_ok=True)
     for cid in common:
         probs = []

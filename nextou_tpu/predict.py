@@ -167,6 +167,10 @@ def main(argv=None):
         data_dir = os.path.join(data_dir, ident)
     ds = PreprocessedDataset(data_dir, args.cases)
     os.makedirs(args.output, exist_ok=True)
+    import json as _json
+
+    with open(os.path.join(args.output, "dataset.json"), "w") as f:
+        _json.dump(dataset_json, f)  # label semantics for ensemble/eval
     mesh = None
     if args.all_devices and len(jax.devices()) > 1:
         from nextou_tpu.parallel import make_mesh

@@ -52,3 +52,23 @@ def test_ensemble_case_averages_probabilities():
     seg = ensemble_case([p1, p2])
     # means: (0.25, 0.3, 0.45) -> class 2
     assert (seg == 2).all()
+
+
+def test_ensemble_case_region_mode():
+    from nextou_tpu.plans.loader import LabelManager
+
+    lm = LabelManager({
+        "labels": {"background": 0, "whole": [1, 2], "core": [2]},
+        "regions_class_order": [1, 2],
+    })
+    # two models' sigmoid region probabilities (no background channel)
+    p1 = np.zeros((4, 4, 2), np.float16)
+    p2 = np.zeros((4, 4, 2), np.float16)
+    p1[1:3, 1:3, 0] = 0.8   # whole: mean 0.4 -> below threshold alone
+    p2[1:3, 1:3, 0] = 0.6   # mean 0.7 -> whole painted as label 1
+    p1[2, 2, 1] = 0.9       # core at (2,2): mean 0.55 -> label 2 overwrites
+    p2[2, 2, 1] = 0.2
+    seg = ensemble_case([p1, p2], lm)
+    assert seg[0, 0] == 0
+    assert seg[1, 1] == 1
+    assert seg[2, 2] == 2
