@@ -122,6 +122,7 @@ def make_device_sliding_predictor(
     use_gaussian: bool = True,
     fused: bool = False,
     activation: str = "softmax",
+    mesh: "jax.sharding.Mesh | None" = None,
 ):
     """Fully device-resident sliding window: the volume is transferred to
     HBM once; tile extraction (dynamic_slice), TTA forward, softmax,
@@ -196,10 +197,31 @@ def make_device_sliding_predictor(
 
         return jax.lax.fori_loop(0, coords.shape[0], body, (acc, weight))
 
-    extract = jax.jit(_extract)
-    tile_forward = jax.jit(_tile_forward)
-    accumulate = jax.jit(_accumulate, donate_argnums=(0, 1))
-    finalize = jax.jit(lambda acc, weight: acc / weight[..., None])
+    if mesh is None:
+        extract = jax.jit(_extract)
+        tile_forward = jax.jit(_tile_forward)
+        accumulate = jax.jit(_accumulate, donate_argnums=(0, 1))
+        finalize = jax.jit(lambda acc, weight: acc / weight[..., None])
+        n_dev = 1
+    else:
+        # multi-chip serving: volume + accumulators replicated, the tile
+        # batch sharded over all mesh axes; GSPMD partitions the forward
+        # per shard and inserts the gather feeding the accumulate loop
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        shd = NamedSharding(mesh, P(mesh.axis_names))
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        extract = jax.jit(_extract, in_shardings=(rep, rep), out_shardings=shd)
+        tile_forward = jax.jit(_tile_forward, in_shardings=shd, out_shardings=shd)
+        accumulate = jax.jit(
+            _accumulate, donate_argnums=(0, 1),
+            in_shardings=(rep, rep, shd, rep, rep), out_shardings=(rep, rep),
+        )
+        finalize = jax.jit(
+            lambda acc, weight: acc / weight[..., None],
+            in_shardings=(rep, rep), out_shardings=rep,
+        )
 
     @jax.jit
     def run_fused(vol, coords, valid):
@@ -219,12 +241,13 @@ def make_device_sliding_predictor(
         return acc / weight[..., None]
 
     def _chunks(coords):
+        tb = int(math.ceil(tile_batch / n_dev)) * n_dev
         chunks, valids = [], []
-        for i in range(0, len(coords), tile_batch):
-            chunk = coords[i : i + tile_batch]
+        for i in range(0, len(coords), tb):
+            chunk = coords[i : i + tb]
             valid = np.ones(len(chunk), bool)
-            if len(chunk) < tile_batch:
-                n_pad = tile_batch - len(chunk)
+            if len(chunk) < tb:
+                n_pad = tb - len(chunk)
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], n_pad, 0)])
                 valid = np.concatenate([valid, np.zeros(n_pad, bool)])
             chunks.append(chunk)

@@ -48,14 +48,12 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None):
     )
     patch = spec.patch_size
     ncls = spec.num_classes
-    device_pred = None
-    if mesh is None:
-        from nextou_tpu.infer import make_device_sliding_predictor
+    from nextou_tpu.infer import make_device_sliding_predictor
 
-        device_pred = make_device_sliding_predictor(
-            apply_fn, trainer.inference_allowed_mirroring_axes, patch, ncls,
-            tile_batch=tile_batch, activation=activation,
-        )
+    device_pred = make_device_sliding_predictor(
+        apply_fn, trainer.inference_allowed_mirroring_axes, patch, ncls,
+        tile_batch=tile_batch, activation=activation, mesh=mesh,
+    )
 
     # device-resident accumulation when the probability volume fits HBM
     # (f32 acc + weight + volume, with headroom for the model itself)

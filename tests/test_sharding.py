@@ -134,3 +134,40 @@ def test_sharded_sliding_window_matches_single_device():
         data, spec.patch_size, spec.num_classes, tile_batch=2, mesh=mesh,
     )
     np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def test_sharded_device_sliding_window_matches_single_device():
+    """Multi-chip device-resident sliding window (tiles sharded, HBM
+    accumulation) must match the single-device device path."""
+    from nextou_tpu.infer import make_device_sliding_predictor
+    from nextou_tpu.models import NexToU
+    from nextou_tpu.utils import fast_init
+
+    spec = tiny_2d_spec(deep_supervision=False)
+    model = NexToU(spec=spec, dtype=jnp.float32)
+    data = np.random.default_rng(7).standard_normal(
+        (48, 40, spec.in_channels)
+    ).astype(np.float32)
+    x0 = jnp.zeros((1, *spec.patch_size, spec.in_channels), jnp.float32)
+    variables = fast_init(model, jax.random.PRNGKey(0), x0, train=False)
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
+
+    single = make_device_sliding_predictor(
+        apply_fn, (0, 1), spec.patch_size, spec.num_classes, tile_batch=2
+    )(data)
+
+    mesh = make_mesh()
+    var_r = replicate(mesh, variables)
+
+    def apply_r(x):
+        return model.apply(var_r, x, train=False)
+
+    sharded = make_device_sliding_predictor(
+        apply_r, (0, 1), spec.patch_size, spec.num_classes,
+        tile_batch=2, mesh=mesh,
+    )(data)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=3e-5
+    )
