@@ -18,6 +18,12 @@ def main():
     import time
 
     spec = flagship_3d_spec(deep_supervision=True)
+    if os.environ.get("NEXTOU_BENCH_CONV_ONLY") == "1":
+        import dataclasses
+        enc = tuple(dataclasses.replace(t, gnn=(), n_conv=t.n_conv + (1 if t.gnn else 0)) for t in spec.encoder)
+        dec = tuple(dataclasses.replace(t, gnn=(), n_conv=t.n_conv + (1 if t.gnn else 0)) for t in spec.decoder)
+        spec = dataclasses.replace(spec, encoder=enc, decoder=dec)
+        print("conv-only variant", flush=True)
     model = NexToU(spec=spec, dtype=jnp.bfloat16, remat=os.environ.get("NEXTOU_BENCH_REMAT", "1") == "1")
     import os
     B = int(os.environ.get("NEXTOU_TRAIN_BENCH_BATCH", "1"))
@@ -38,12 +44,27 @@ def main():
     state, m = step(state, batch)
     _ = float(m["loss"])  # host fetch: genuinely waits (tunnel block_until_ready does not)
     print(f"compile+first {time.perf_counter()-t0:.0f}s", flush=True)
-    t0 = time.perf_counter()
-    N = 20
-    for _ in range(N):
-        state, m = step(state, batch)
-    loss_val = float(m["loss"])  # forces completion of the whole chain
-    dt = (time.perf_counter() - t0) / N
+    # in-device loop: N steps inside one dispatch, so tunneled-dispatch
+    # latency cannot inflate the measurement
+    def loop(n):
+        @jax.jit
+        def run(state, batch):
+            def body(i, st):
+                new_st, _ = step(st, batch)
+                return new_st
+            st = jax.lax.fori_loop(0, n, body, state)
+            return st
+        return run
+    r10 = loop(10)
+    s10 = r10(state, batch); jax.block_until_ready(s10.params)     # compile
+    # slope between 1 jitted step and a 10-step in-device loop cancels the
+    # per-dispatch (tunnel) latency
+    t0 = time.perf_counter(); s_a, m_a = step(state, batch); _ = float(m_a["loss"]); t1 = time.perf_counter() - t0
+    # chain off s_a: `step` donated `state`
+    t0 = time.perf_counter(); s_b = r10(s_a, batch); _ = float(jax.tree_util.tree_leaves(s_b.params)[0].ravel()[0]); t10 = time.perf_counter() - t0
+    dt = (t10 - t1) / 9.0
+    print(f"wall: 1-step {t1:.2f}s, 10-step {t10:.2f}s", flush=True)
+    loss_val = float(m_a["loss"])
     print(f"final loss {loss_val:.4f}", flush=True)
     print(f"train step: {dt*1e3:.0f} ms ({B} patches) -> {B/dt:.2f} patches/s", flush=True)
 
