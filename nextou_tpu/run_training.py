@@ -42,6 +42,11 @@ def main(argv=None):
     )
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument(
+        "--device-da", choices=["auto", "on", "off"], default="auto",
+        help="run data augmentation on the accelerator inside the compiled "
+             "train step (auto: on for TPU, off for CPU/cascade)",
+    )
     args = ap.parse_args(argv)
 
     from nextou_tpu.paths import resolve_preprocessed
@@ -68,6 +73,7 @@ def main(argv=None):
         num_epochs=args.epochs,
         num_iterations_per_epoch=args.iters,
         batch_size=args.batch_size,
+        device_da={"auto": "auto", "on": True, "off": False}[args.device_da],
     )
     latest = os.path.join(output, "checkpoint_latest.ckpt")
     if args.resume:

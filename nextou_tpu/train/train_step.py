@@ -27,10 +27,18 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_spec: CompoundLossSpec,
     ds_weights: Sequence[float] | None = None,
+    augment=None,
+    augment_gating: str = "cond",
 ) -> Callable[[TrainState, dict[str, jax.Array]], tuple[TrainState, dict]]:
     """Returns ``train_step(state, batch) -> (state, metrics)``.
 
     ``batch`` = {'data': (B, *sp, C) float, 'seg': (B, *sp) int}.
+
+    ``augment`` (an :class:`~nextou_tpu.data.augment.AugmentConfig`) fuses
+    on-device data augmentation into the compiled step — the loader then
+    feeds raw patches and the host does no DA work at all (see
+    :mod:`nextou_tpu.data.device_augment`). ``augment_gating``: 'cond' for
+    single-chip, 'where' for SPMD-sharded multi-chip steps.
 
     The input ``state`` is DONATED (its buffers are reused for the new
     state — params + optimizer momentum are ~0.5 GB at flagship size):
@@ -63,8 +71,19 @@ def make_train_step(
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
-        rng, dropout_rng, graph_rng = jax.random.split(state.rng, 3)
+        rng, dropout_rng, graph_rng, da_rng = jax.random.split(state.rng, 4)
         rngs = {"dropout": dropout_rng, "graph": graph_rng}
+        if augment is not None:
+            from nextou_tpu.data.device_augment import device_augment_batch
+
+            data, seg, _ = device_augment_batch(
+                da_rng,
+                batch["data"],
+                batch["seg"],
+                augment,
+                gating=augment_gating,
+            )
+            batch = {"data": data, "seg": seg}
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state, rngs, batch
         )

@@ -65,6 +65,7 @@ class NexToUTrainer:
         *,
         compute_dtype: Any = jnp.bfloat16,
         remat: bool | str = "auto",
+        device_da: bool | str = "auto",
         seed: int = 12345,
         num_epochs: int | None = None,
         num_iterations_per_epoch: int | None = None,
@@ -81,6 +82,12 @@ class NexToUTrainer:
         self.output_folder = output_folder
         self.compute_dtype = compute_dtype
         self.remat = remat
+        # on-device DA (data/device_augment.py): the host feeds raw patches
+        # and augmentation runs inside the compiled train step. "auto" = on
+        # for TPU backends (TPU VMs are host-core-starved), off on CPU, and
+        # off for cascade configurations (their one-hot corruption noise
+        # needs host-side connected components).
+        self.device_da = device_da
         self.seed = seed
         if num_epochs is not None:
             self.num_epochs = num_epochs
@@ -134,6 +141,25 @@ class NexToUTrainer:
             else:
                 rot = (np.pi / 6.0,) * 3  # ±30°
         return rot, do_dummy, self.configure_mirroring()
+
+    def _resolve_device_da(self):
+        cascade = self.configuration_manager.previous_stage_name is not None
+        if self.device_da == "auto":
+            self.device_da = jax.default_backend() == "tpu" and not cascade
+        if self.device_da and cascade:
+            self.print_to_log_file(
+                "device_da disabled: cascade one-hot noise needs host-side "
+                "connected components"
+            )
+            self.device_da = False
+
+    def _augment_config(self) -> AugmentConfig:
+        rot, do_dummy, mirror = (
+            self.configure_rotation_dummyDA_mirroring_and_initial_patch_size()
+        )
+        return AugmentConfig(
+            rotation_rad=tuple(rot), dummy_2d=do_dummy, mirror_axes=mirror
+        )
 
     def _loss_spec(self) -> CompoundLossSpec:
         """DC + CE (base nnUNetTrainer loss); TI/BTI trainers override.
@@ -244,8 +270,14 @@ class NexToUTrainer:
         self.state = create_train_state(
             self.network, self.optimizer, example, jax.random.PRNGKey(self.seed)
         )
+        self._resolve_device_da()
         self.train_step = make_train_step(
-            self.network, self.optimizer, self.loss_spec, self.ds_weights
+            self.network,
+            self.optimizer,
+            self.loss_spec,
+            self.ds_weights,
+            augment=self._augment_config() if self.device_da else None,
+            augment_gating="cond" if jax.device_count() == 1 else "where",
         )
         self.eval_step = make_eval_step(self.network, self.loss_spec, self.ds_weights)
         # persist plans + dataset.json next to the checkpoints (the substrate
@@ -299,12 +331,8 @@ class NexToUTrainer:
             val_ds, patch, self.batch_size,
             self.oversample_foreground_percent, seed=self.seed + 1,
         )
-        rot, do_dummy, mirror = (
-            self.configure_rotation_dummyDA_mirroring_and_initial_patch_size()
-        )
-        aug = AugmentConfig(
-            rotation_rad=tuple(rot), dummy_2d=do_dummy, mirror_axes=mirror
-        )
+        self._resolve_device_da()
+        aug = None if self.device_da else self._augment_config()
         cascade = self.configuration_manager.previous_stage_name is not None
         onehot = (
             tuple(self.label_manager.foreground_labels) if cascade else None
