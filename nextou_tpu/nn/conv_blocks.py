@@ -3,8 +3,10 @@
 Each block is conv -> norm -> LeakyReLU (conv_bias=True, BatchNorm eps 1e-5,
 LeakyReLU slope 1e-2), matching what the reference trainer configures
 (``nnUNetTrainer_NexToU.py:52-58``) on top of
-``dynamic_network_architectures.StackedConvBlocks``. Channels-last, 'SAME'
-padding (equivalent to torch's k//2 padding for odd kernels at these strides).
+``dynamic_network_architectures.StackedConvBlocks``. Channels-last; padding
+is the explicit symmetric ``(k-1)//2`` torch uses — NOT 'SAME', which pads
+(0, 1) instead of (1, 1) for k=3/stride=2 and shifts the sampling grid of
+every strided conv by one voxel relative to the reference.
 """
 
 from __future__ import annotations
@@ -12,10 +14,10 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import jax
-import jax.numpy as jnp
+
 import flax.linen as nn
 
-from nextou_tpu.nn.layers import act, make_norm, conv_he_normal
+from nextou_tpu.nn.layers import FoldedConv, act, make_norm
 
 
 class ConvNormAct(nn.Module):
@@ -29,15 +31,13 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
-        x = nn.Conv(
+        x = FoldedConv(
             features=self.features,
             kernel_size=tuple(self.kernel_size),
             strides=tuple(self.strides),
-            padding="SAME",
+            padding=tuple(((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size),
             use_bias=self.use_bias,
-            kernel_init=conv_he_normal,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="conv",
         )(x)
         x = make_norm(self.norm, train=train, name="norm", dtype=self.dtype)(x)
