@@ -71,6 +71,50 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None):
     return predict
 
 
+def build_fold_ensemble_predictor(trainers, tile_batch: int = 2, mesh=None):
+    """Average the sliding-window probabilities of several folds' models —
+    nnU-Net's default ``-f 0 1 2 3 4`` cross-validation ensemble
+    (predict_from_raw_data averages softmax over folds before argmax)."""
+    predictors = [
+        build_predictor(t, tile_batch=tile_batch, mesh=mesh) for t in trainers
+    ]
+    if len(predictors) == 1:
+        return predictors[0]
+
+    def predict(data: np.ndarray) -> np.ndarray:
+        acc = None
+        for p in predictors:
+            probs = p(data)
+            acc = probs if acc is None else acc + probs
+        return acc / len(predictors)
+
+    return predict
+
+
+def _fold_model_folders(model_folder: str, folds) -> list[str]:
+    """Resolve per-fold checkpoint folders: `..._fold_N` sibling naming (this
+    repo's run_training layout) or `fold_N/` subfolders (nnU-Net layout)."""
+    import re
+
+    base = model_folder.rstrip("/")
+    m = re.search(r"fold_(\d+|all)$", base)
+    out = []
+    for f in folds:
+        if m is not None:
+            out.append(base[: m.start()] + f"fold_{f}")
+        elif os.path.isdir(os.path.join(base, f"fold_{f}")):
+            out.append(os.path.join(base, f"fold_{f}"))
+        else:
+            raise SystemExit(
+                f"cannot resolve fold {f}: {model_folder} neither ends in "
+                "fold_N nor contains fold_N subfolders"
+            )
+    for p in out:
+        if not os.path.isdir(p):
+            raise SystemExit(f"fold folder does not exist: {p}")
+    return out
+
+
 def predict_case(trainer, data_chw: np.ndarray, tile_batch: int = 2) -> np.ndarray:
     """data (C, *sp) preprocessed -> argmax segmentation (*sp) int16."""
     predictor = build_predictor(trainer, tile_batch)
@@ -97,6 +141,12 @@ def main(argv=None):
              "(plans/dataset.json are read from the model folder)",
     )
     ap.add_argument("-tr", "--trainer", default="nnUNetTrainer_NexToU")
+    ap.add_argument(
+        "-f", "--folds", nargs="*", default=None,
+        help="ensemble these folds (average probabilities, like nnU-Net's "
+             "-f 0 1 2 3 4); model_folder may end in fold_N (siblings) or "
+             "contain fold_N subfolders",
+    )
     ap.add_argument("-chk", default="checkpoint_final.ckpt")
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("--cases", nargs="*", default=None)
@@ -131,11 +181,20 @@ def main(argv=None):
         dataset_json = load_dataset_json(args.dataset_folder)
         plans_path = os.path.join(args.dataset_folder, "nnUNetPlans.json")
     cls = get_trainer_class(args.trainer)
-    trainer = cls(
-        plans_path, args.configuration, 0, dataset_json,
-        preprocessed_folder=args.dataset_folder, output_folder=args.model_folder,
+    folders = (
+        _fold_model_folders(args.model_folder, args.folds)
+        if args.folds
+        else [args.model_folder]
     )
-    trainer.load_checkpoint(os.path.join(args.model_folder, args.chk))
+    trainers = []
+    for folder in folders:
+        t = cls(
+            plans_path, args.configuration, 0, dataset_json,
+            preprocessed_folder=args.dataset_folder, output_folder=folder,
+        )
+        t.load_checkpoint(os.path.join(folder, args.chk))
+        trainers.append(t)
+    trainer = trainers[0]
 
     if args.raw:
         from nextou_tpu.infer.raw import predict_raw_folder
@@ -145,8 +204,8 @@ def main(argv=None):
             from nextou_tpu.parallel import make_mesh
 
             mesh = make_mesh()
-        predictor = build_predictor(
-            trainer, tile_batch=args.tile_batch, mesh=mesh
+        predictor = build_fold_ensemble_predictor(
+            trainers, tile_batch=args.tile_batch, mesh=mesh
         )
         predict_raw_folder(
             predictor,
@@ -183,7 +242,9 @@ def main(argv=None):
             "-prev with the previous stage's predictions"
         )
     fg_labels = trainer.label_manager.foreground_labels
-    predictor = build_predictor(trainer, tile_batch=args.tile_batch, mesh=mesh)
+    predictor = build_fold_ensemble_predictor(
+        trainers, tile_batch=args.tile_batch, mesh=mesh
+    )
     for cid in ds.case_ids:
         case = ds.load(cid)
         data = np.moveaxis(case.data, 0, -1)
