@@ -17,9 +17,11 @@ import jax
 import jax.numpy as jnp
 
 
-def build_predictor(trainer, tile_batch: int = 2, mesh=None):
+def build_predictor(trainer, tile_batch: int = 2, mesh=None, output: str = "probs"):
     """From an initialized trainer (checkpoint loaded), build a function
-    ``(data (*sp, C) float32) -> probs (*sp, num_classes)``.
+    ``(data (*sp, C) float32) -> probs (*sp, num_classes)`` — or, with
+    ``output='seg'`` (label mode), ``-> (*sp) int16`` argmaxed on device so
+    only the segmentation leaves the chip.
 
     With ``mesh``, the tile batch is sharded across all mesh devices (params
     replicated) — the multi-chip serving path: every chip predicts its shard
@@ -42,6 +44,8 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None):
     activation = (
         "sigmoid" if trainer.label_manager.has_regions else "softmax"
     )
+    if activation != "softmax":
+        output = "probs"  # region mode needs the per-region channels
     tile_pred = make_tile_predictor(
         apply_fn, trainer.inference_allowed_mirroring_axes, mesh=mesh,
         activation=activation,
@@ -53,6 +57,7 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None):
     device_pred = make_device_sliding_predictor(
         apply_fn, trainer.inference_allowed_mirroring_axes, patch, ncls,
         tile_batch=tile_batch, activation=activation, mesh=mesh,
+        output=output,
     )
 
     # device-resident accumulation when the probability volume fits HBM
@@ -64,19 +69,28 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None):
         acc_bytes = vox * (ncls + 1 + data.shape[-1]) * 4
         if device_pred is not None and acc_bytes <= ACC_BUDGET_BYTES:
             return np.asarray(device_pred(data))
-        return sliding_window_predict(
+        probs = sliding_window_predict(
             tile_pred, data, patch, ncls, tile_batch=tile_batch, mesh=mesh
         )
+        if output == "seg":  # host fallback for HBM-exceeding volumes
+            return np.argmax(probs, axis=-1).astype(np.int16)
+        return probs
 
     return predict
 
 
-def build_fold_ensemble_predictor(trainers, tile_batch: int = 2, mesh=None):
+def build_fold_ensemble_predictor(
+    trainers, tile_batch: int = 2, mesh=None, output: str = "probs"
+):
     """Average the sliding-window probabilities of several folds' models —
     nnU-Net's default ``-f 0 1 2 3 4`` cross-validation ensemble
-    (predict_from_raw_data averages softmax over folds before argmax)."""
+    (predict_from_raw_data averages softmax over folds before argmax).
+    ``output='seg'`` only applies single-fold (ensembling needs the probs)."""
+    if len(trainers) > 1:
+        output = "probs"
     predictors = [
-        build_predictor(t, tile_batch=tile_batch, mesh=mesh) for t in trainers
+        build_predictor(t, tile_batch=tile_batch, mesh=mesh, output=output)
+        for t in trainers
     ]
     if len(predictors) == 1:
         return predictors[0]
@@ -242,8 +256,16 @@ def main(argv=None):
             "-prev with the previous stage's predictions"
         )
     fg_labels = trainer.label_manager.foreground_labels
+    # label mode, single fold, no saved probabilities: argmax on device and
+    # ship only the int16 seg (240 MB -> 8 MB per flagship volume)
+    want_seg = (
+        not args.save_probabilities
+        and not trainer.label_manager.has_regions
+        and len(trainers) == 1
+    )
     predictor = build_fold_ensemble_predictor(
-        trainers, tile_batch=args.tile_batch, mesh=mesh
+        trainers, tile_batch=args.tile_batch, mesh=mesh,
+        output="seg" if want_seg else "probs",
     )
     for cid in ds.case_ids:
         case = ds.load(cid)
@@ -256,7 +278,11 @@ def main(argv=None):
             hot = np.stack([prev == l for l in fg_labels], axis=-1)
             data = np.concatenate([data, hot.astype(np.float32)], axis=-1)
         probs = predictor(data)
-        seg = trainer.label_manager.convert_probabilities_to_segmentation(probs)
+        seg = (
+            probs
+            if want_seg
+            else trainer.label_manager.convert_probabilities_to_segmentation(probs)
+        )
         payload = {"seg": seg}
         if args.save_probabilities:
             payload["probabilities"] = probs.astype(np.float16)

@@ -151,3 +151,36 @@ def test_device_sliding_window_matches_host_path():
         apply_fn, (0, 1), spec.patch_size, spec.num_classes, tile_batch=3
     )(data)
     np.testing.assert_allclose(np.asarray(dev), host, atol=3e-5)
+
+
+def test_device_sliding_window_seg_output():
+    """output='seg' must equal argmax of the probs output (device argmax,
+    weight division cancelled), int16, spatial-only shape."""
+    from nextou_tpu.infer import make_device_sliding_predictor
+    from nextou_tpu.models import NexToU
+    from nextou_tpu.utils import fast_init
+    from tests.test_model import tiny_2d_spec
+    import jax
+    import jax.numpy as jnp
+
+    spec = tiny_2d_spec(deep_supervision=False)
+    model = NexToU(spec=spec, dtype=jnp.float32)
+    data = np.random.default_rng(3).standard_normal(
+        (41, 44, spec.in_channels)
+    ).astype(np.float32)
+    x0 = jnp.zeros((1, *spec.patch_size, spec.in_channels), jnp.float32)
+    variables = fast_init(model, jax.random.PRNGKey(0), x0, train=False)
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
+
+    kw = dict(tile_batch=2)
+    probs = make_device_sliding_predictor(
+        apply_fn, (0,), spec.patch_size, spec.num_classes, **kw
+    )(data)
+    seg = make_device_sliding_predictor(
+        apply_fn, (0,), spec.patch_size, spec.num_classes, output="seg", **kw
+    )(data)
+    seg = np.asarray(seg)
+    assert seg.dtype == np.int16 and seg.shape == data.shape[:-1]
+    np.testing.assert_array_equal(seg, np.argmax(np.asarray(probs), axis=-1))

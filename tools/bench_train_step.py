@@ -37,7 +37,14 @@ def main():
     print(f"init {time.perf_counter()-t0:.0f}s", flush=True)
     loss_spec = CompoundLossSpec(weight_ce=1.0, weight_dice=1.0, weight_ti=0.0,
                                  batch_dice=True, smooth=1e-5, do_bg=False)
-    step = make_train_step(model, opt, loss_spec, deep_supervision_weights(len(spec.decoder)))
+    augment = None
+    if os.environ.get("NEXTOU_BENCH_DEVICE_DA", "0") == "1":
+        from nextou_tpu.data.augment import AugmentConfig
+        augment = AugmentConfig(mirror_axes=(0, 1, 2))
+        print("fused device DA on", flush=True)
+    step = make_train_step(model, opt, loss_spec,
+                           deep_supervision_weights(len(spec.decoder)),
+                           augment=augment)
     seg = jnp.asarray(rng.integers(0, 14, (B, *spec.patch_size)), jnp.int32)
     batch = {"data": x, "seg": seg}
     t0 = time.perf_counter()
