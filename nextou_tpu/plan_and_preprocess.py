@@ -120,10 +120,26 @@ def main(argv=None):
     ap.add_argument("--max-cases", type=int, default=None)
     ap.add_argument("--no-preprocess", action="store_true",
                     help="plan only, skip preprocessing")
+    ap.add_argument("--verify_dataset_integrity", action="store_true",
+                    help="check the raw dataset (channels/labels/shapes/"
+                         "spacings) before planning, like nnU-Net")
     args = ap.parse_args(argv)
 
     from nextou_tpu.paths import resolve_raw
     args.raw_folder = resolve_raw(args.raw_folder)
+    if args.verify_dataset_integrity:
+        from nextou_tpu.plans.integrity import verify_dataset_integrity
+
+        problems = verify_dataset_integrity(
+            args.raw_folder, max_cases=args.max_cases
+        )
+        if problems:
+            for p in problems:
+                print(f"INTEGRITY: {p}")
+            raise SystemExit(
+                f"dataset integrity check failed ({len(problems)} problems)"
+            )
+        print("dataset integrity OK")
     from nextou_tpu.plans.fingerprint import extract_fingerprint
     from nextou_tpu.plans.planner import plan_experiment
 
