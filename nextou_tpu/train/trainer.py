@@ -270,6 +270,27 @@ class NexToUTrainer:
         self.state = create_train_state(
             self.network, self.optimizer, example, jax.random.PRNGKey(self.seed)
         )
+        # data-parallel mesh over all devices whose count divides the batch
+        # (the reference's DDP, SURVEY.md §2.4): params replicated, batch
+        # sharded on 'data'; XLA inserts the gradient/batch-Dice psums.
+        self.mesh = None
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            n_data = math.gcd(self.batch_size, n_dev)
+            if n_data > 1:
+                from nextou_tpu.parallel import make_mesh, replicate
+
+                self.mesh = make_mesh(n_data=n_data)
+                self.state = replicate(self.mesh, self.state)
+                self.print_to_log_file(
+                    f"data-parallel: batch {self.batch_size} sharded over "
+                    f"{n_data} of {n_dev} devices"
+                )
+            else:
+                self.print_to_log_file(
+                    f"single-device training (batch {self.batch_size} not "
+                    f"divisible across {n_dev} devices)"
+                )
         self._resolve_device_da()
         self.train_step = make_train_step(
             self.network,
@@ -277,7 +298,7 @@ class NexToUTrainer:
             self.loss_spec,
             self.ds_weights,
             augment=self._augment_config() if self.device_da else None,
-            augment_gating="cond" if jax.device_count() == 1 else "where",
+            augment_gating="where" if self.mesh is not None else "cond",
         )
         self.eval_step = make_eval_step(self.network, self.loss_spec, self.ds_weights)
         # persist plans + dataset.json next to the checkpoints (the substrate
@@ -365,15 +386,21 @@ class NexToUTrainer:
         self.initialize()
         train_loader, _ = self.get_dataloaders()
         trace_dir = trace_dir or os.path.join(self.output_folder, "trace")
+        if self.mesh is not None:
+            from nextou_tpu.parallel import shard_batch
+
+            put = lambda b: shard_batch(self.mesh, b)  # noqa: E731
+        else:
+            put = lambda b: b  # noqa: E731
         with train_loader:
             it = iter(train_loader)
-            batch = next(it)
+            batch = put(next(it))
             # compile outside the trace so the trace shows steady-state steps
             self.state, _ = self.train_step(self.state, batch)
             jax.block_until_ready(self.state.params)
             with jax.profiler.trace(trace_dir):
                 for _ in range(n_steps):
-                    batch = next(it)
+                    batch = put(next(it))
                     self.state, m = self.train_step(self.state, batch)
                 jax.block_until_ready(m["loss"])
         self.print_to_log_file(f"profiler trace written to {trace_dir}")
@@ -387,6 +414,12 @@ class NexToUTrainer:
             f"fold {self.fold}: {self.num_epochs} epochs x "
             f"{self.num_iterations_per_epoch} iters, batch {self.batch_size}"
         )
+        if self.mesh is not None:
+            from nextou_tpu.parallel import shard_batch
+
+            put = lambda b: shard_batch(self.mesh, b)  # noqa: E731
+        else:
+            put = lambda b: b  # noqa: E731
         with train_loader, val_loader:
             train_it, val_it = iter(train_loader), iter(val_loader)
             for epoch in range(self.current_epoch, self.num_epochs):
@@ -394,14 +427,14 @@ class NexToUTrainer:
                 t0 = time.time()
                 losses = []
                 for _ in range(self.num_iterations_per_epoch):
-                    batch = next(train_it)
+                    batch = put(next(train_it))
                     self.state, metrics = self.train_step(self.state, batch)
                     losses.append(metrics["loss"])
                 train_loss = float(np.mean([jax.device_get(l) for l in losses]))
 
                 val_losses, tps, fps, fns = [], [], [], []
                 for _ in range(self.num_val_iterations_per_epoch):
-                    vb = next(val_it)
+                    vb = put(next(val_it))
                     out = self.eval_step(self.state, vb)
                     val_losses.append(out["loss"])
                     tps.append(out["tp"])

@@ -38,7 +38,9 @@ def test_ensemble_predictor_averages(monkeypatch):
     monkeypatch.setattr(
         predict_mod,
         "build_predictor",
-        lambda trainer, tile_batch=2, mesh=None: (lambda data: outs[trainer]),
+        lambda trainer, tile_batch=2, mesh=None, output="probs": (
+            lambda data: outs[trainer]
+        ),
     )
     pred = build_fold_ensemble_predictor(["a", "b"])
     got = pred(np.zeros((4, 4, 1), np.float32))
