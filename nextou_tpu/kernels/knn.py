@@ -35,48 +35,60 @@ from nextou_tpu.core.graph import _l2_normalize, dense_knn, batched_index_select
 
 
 def _kernel(x_ref, yn_ref, yv_ref, rel_ref, out_ref, *, k: int, m_valid: int):
-    """One (TILE_N, C) query tile against all M candidates.
+    """A (BB, TILE_N, C) block of query tiles against their M candidates.
 
-    x_ref:  (TILE_N, C) normalized queries (f32)
-    yn_ref: (M, C) normalized candidates (f32)
-    yv_ref: (M, C) raw candidate values (f32)
-    rel_ref: (TILE_N, M) additive distance bias (f32) or all-zeros
-    out_ref: (TILE_N, C) per-channel max over the k nearest candidates
+    x_ref:  (BB, TILE_N, C) normalized queries (f32)
+    yn_ref: (BB, M, C) normalized candidates (f32)
+    yv_ref: (BB, M, C) raw candidate values (f32)
+    rel_ref: (TILE_N, M) additive distance bias (f32) or all-zeros (shared
+        across the BB graphs — it encodes node positions, identical per
+        window/batch element)
+    out_ref: (BB, TILE_N, C) per-channel max over the k nearest candidates
+
+    BB > 1 batches several small graphs (Swin windows) through one grid
+    step: the distance and selection matmuls become batched dot_generals,
+    which keeps the MXU busy where a single 168-node window cannot.
     """
-    x = x_ref[0]  # blocks carry a leading batch dim of 1
-    yn = yn_ref[0]
-    yv = yv_ref[0]
-    tile_n = x.shape[0]
-    m = yn.shape[0]
+    x = x_ref[...]
+    yn = yn_ref[...]
+    yv = yv_ref[...]
+    bb, tile_n, _ = x.shape
+    m = yn.shape[1]
 
-    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (TILE_N, 1)
-    y_sq = jnp.sum(yn * yn, axis=-1, keepdims=True)  # (M, 1)
-    inner = jnp.dot(x, yn.T, preferred_element_type=jnp.float32)
-    dist = x_sq - 2.0 * inner + y_sq.T + rel_ref[:]
+    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (BB, TILE_N, 1)
+    y_sq = jnp.sum(yn * yn, axis=-1, keepdims=True)  # (BB, M, 1)
+    inner = jax.lax.dot_general(
+        x, yn, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (BB, TILE_N, M)
+    dist = x_sq - 2.0 * inner + jnp.swapaxes(y_sq, 1, 2) + rel_ref[:][None]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, m), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bb, tile_n, m), 2)
     # mask out candidate padding (Pallas pads the block to tile multiples)
     dist = jnp.where(col < m_valid, dist, jnp.inf)
 
     big = jnp.float32(jnp.inf)
-    maxy = jnp.full((tile_n, x.shape[1]), -big, jnp.float32)
+    maxy = jnp.full((bb, tile_n, x.shape[-1]), -big, jnp.float32)
 
     def body(j, carry):
         dist, maxy = carry
-        mins = jnp.min(dist, axis=-1, keepdims=True)  # (TILE_N, 1)
+        mins = jnp.min(dist, axis=-1, keepdims=True)  # (BB, TILE_N, 1)
         # first-occurrence argmin via index-min over matching columns
         amin = jnp.min(
             jnp.where(dist == mins, col, m), axis=-1, keepdims=True
-        )  # (TILE_N, 1)
+        )  # (BB, TILE_N, 1)
         onehot = (col == amin).astype(jnp.float32)
-        # winner rows via MXU: (TILE_N, M) @ (M, C)
-        sel = jnp.dot(onehot, yv, preferred_element_type=jnp.float32)
+        # winner rows via MXU: (BB, TILE_N, M) @ (BB, M, C)
+        sel = jax.lax.dot_general(
+            onehot, yv, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         maxy = jnp.maximum(maxy, sel)
         dist = jnp.where(col == amin, big, dist)
         return dist, maxy
 
     _, maxy = jax.lax.fori_loop(0, k, body, (dist, maxy))
-    out_ref[0] = maxy
+    out_ref[...] = maxy
 
 
 def _round_up(x: int, m: int) -> int:
@@ -84,28 +96,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_n", "interpret")
+    jax.jit, static_argnames=("k", "tile_n", "block_b", "interpret")
 )
-def _knn_max_pallas(xn, yn, yv, rel, *, k, tile_n, interpret):
+def _knn_max_pallas(xn, yn, yv, rel, *, k, tile_n, block_b, interpret):
     B, N, C = xn.shape
     M = yn.shape[1]
-    grid = (B, pl.cdiv(N, tile_n))
+    grid = (pl.cdiv(B, block_b), pl.cdiv(N, tile_n))
 
     kernel = functools.partial(_kernel, k=k, m_valid=M)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_n, C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, C), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, C), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, M), lambda b, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_n, C), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
         interpret=interpret,
@@ -137,22 +149,22 @@ def knn_max_neighbors_reference(
 # per-channel argmax neighbor, exactly the VJP of the reference expression.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _knn_max_fused(k: int, tile_n: int, interpret: bool, x, y, rel):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _knn_max_fused(k: int, tile_n: int, block_b: int, interpret: bool, x, y, rel):
     xn = _l2_normalize(x.astype(jnp.float32), axis=-1)
     yn = _l2_normalize(y.astype(jnp.float32), axis=-1)
     out = _knn_max_pallas(
         xn, yn, y.astype(jnp.float32), rel, k=k, tile_n=tile_n,
-        interpret=interpret,
+        block_b=block_b, interpret=interpret,
     )
     return out.astype(x.dtype)
 
 
-def _knn_max_fused_fwd(k, tile_n, interpret, x, y, rel):
-    return _knn_max_fused(k, tile_n, interpret, x, y, rel), (x, y, rel)
+def _knn_max_fused_fwd(k, tile_n, block_b, interpret, x, y, rel):
+    return _knn_max_fused(k, tile_n, block_b, interpret, x, y, rel), (x, y, rel)
 
 
-def _knn_max_fused_bwd(k, tile_n, interpret, res, g):
+def _knn_max_fused_bwd(k, tile_n, block_b, interpret, res, g):
     x, y, rel = res
 
     def ref(xv, yv):
@@ -192,13 +204,30 @@ def knn_max_neighbors(
     platform = jax.devices()[0].platform
     interpret = platform != "tpu"
 
-    # VMEM budget check (f32): y tiles + dist + x/out tiles
+    # Per-graph VMEM footprint (f32): candidate tiles (2x), query/out tiles,
+    # plus dist/iota/onehot scratch (~4x tile*M).
     tile = min(tile_n, _round_up(N, 8))
-    vmem = (2 * M * C + tile * M + 2 * tile * C) * 4
+
+    def est_vmem(bb: int) -> int:
+        # double-buffered operand/output blocks + rel + dist/iota/onehot/
+        # argmin scratch (~4x the distance tile); calibrated against the
+        # v5e compiler's scoped-vmem accounting
+        return (
+            2 * bb * (2 * M * C + 2 * tile * C)
+            + 2 * tile * M
+            + 4 * bb * tile * M
+        ) * 4
+
+    # Small graphs (Swin windows: N = M = prod(window)) underfill the MXU
+    # one-at-a-time; batch several per grid step within the VMEM budget.
+    block_b = 1
+    if N <= 512:
+        while block_b * 2 <= B and est_vmem(block_b * 2) <= 11 << 20:
+            block_b *= 2
     if interpret and (N * M > 1 << 22):
         # interpreter mode is slow; don't run huge shapes off-TPU
         return knn_max_neighbors_reference(x, k, y, relative_pos)
-    if vmem > 12 * 1024 * 1024 or k > M:
+    if est_vmem(block_b) > (15 << 20) or k > M:
         return knn_max_neighbors_reference(x, k, y, relative_pos)
 
     if relative_pos is None:
@@ -207,4 +236,4 @@ def knn_max_neighbors(
         rel = jnp.broadcast_to(relative_pos.astype(jnp.float32), (N, M))
     # self-graph: pass x as the candidate set too; JAX accumulates the two
     # cotangent paths back onto x automatically.
-    return _knn_max_fused(k, tile, interpret, x, vals, rel)
+    return _knn_max_fused(k, tile, block_b, interpret, x, vals, rel)
