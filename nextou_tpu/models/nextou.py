@@ -153,6 +153,30 @@ class DecoderStage(nn.Module):
         return x
 
 
+_REMAT_BIG_BYTES = 64 * 1024 * 1024  # bf16 bytes per batch element
+
+
+def _remat_flags(spec: ModelSpec, mode) -> tuple[list[bool], list[bool]]:
+    """Per-stage remat decisions for mode in {False, True, 'big'}."""
+    import math as _math
+
+    n_e, n_d = len(spec.encoder), len(spec.decoder)
+    if mode is True:
+        return [True] * n_e, [True] * n_d
+    if not mode:
+        return [False] * n_e, [False] * n_d
+    assert mode == "big", mode
+    shape = list(spec.patch_size)
+    enc_bytes = []
+    for st in spec.encoder:
+        shape = [a // b for a, b in zip(shape, st.stride)]
+        enc_bytes.append(_math.prod(shape) * st.features * 2)
+    enc = [b >= _REMAT_BIG_BYTES for b in enc_bytes]
+    # decoder stage i computes at encoder stage n_e-2-i resolution/features
+    dec = [enc_bytes[n_e - 2 - i] >= _REMAT_BIG_BYTES for i in range(n_d)]
+    return enc, dec
+
+
 class NexToU(nn.Module):
     """Full encoder/decoder network.
 
@@ -163,7 +187,12 @@ class NexToU(nn.Module):
 
     spec: ModelSpec
     dtype: Any = jnp.float32
-    remat: bool = False
+    # False: store all activations; True: remat every stage (~1.4x step
+    # time); "big": remat only stages whose input/output feature map exceeds
+    # _REMAT_BIG_BYTES — they hold most of the activation memory (the
+    # high-resolution conv stages) while the cheap-to-store deep/GNN stages
+    # keep their activations, so the recompute overhead stays small.
+    remat: Any = False
 
     def compute_conv_feature_map_size(self, input_size=None) -> int:
         """Total conv output elements of a forward pass — the VRAM proxy
@@ -189,15 +218,14 @@ class NexToU(nn.Module):
         )
         x = x.astype(self.dtype)
 
-        enc_cls = EncoderStage
-        dec_cls = DecoderStage
-        if self.remat:
-            enc_cls = nn.remat(EncoderStage, static_argnums=(2,))
-            dec_cls = nn.remat(DecoderStage, static_argnums=(3,))
+        enc_flags, dec_flags = _remat_flags(s, self.remat)
+        enc_r = nn.remat(EncoderStage, static_argnums=(2,))
+        dec_r = nn.remat(DecoderStage, static_argnums=(3,))
 
         skips = []
         for i, st in enumerate(s.encoder):
-            x = enc_cls(stage=st, spec=s, dtype=self.dtype, name=f"enc_{i}")(
+            cls = enc_r if enc_flags[i] else EncoderStage
+            x = cls(stage=st, spec=s, dtype=self.dtype, name=f"enc_{i}")(
                 x, train
             )
             skips.append(x)
@@ -206,7 +234,8 @@ class NexToU(nn.Module):
         x = skips[-1]
         n_dec = len(s.decoder)
         for i, st in enumerate(s.decoder):
-            x = dec_cls(stage=st, spec=s, dtype=self.dtype, name=f"dec_{i}")(
+            cls = dec_r if dec_flags[i] else DecoderStage
+            x = cls(stage=st, spec=s, dtype=self.dtype, name=f"dec_{i}")(
                 x, skips[-(i + 2)], train
             )
             # all seg heads are always *built* so params always exist

@@ -231,17 +231,19 @@ class NexToUTrainer:
             return self
         self.model_spec = self.build_network_spec()
         if self.remat == "auto":
-            # remat costs ~1.3x step time; skip it when the activation
-            # footprint (feature-map elements x batch x bf16, with backward
-            # headroom) fits comfortably in one chip's HBM
+            # full remat costs ~1.4x step time; selective 'big' remat (only
+            # the high-resolution stages, which hold most activation bytes)
+            # costs a fraction of that. Pick by the activation-footprint
+            # estimate (feature-map elements x batch x bf16 with backward
+            # headroom) against one chip's HBM.
             net_probe = NexToU(spec=self.model_spec)
             est = (
                 net_probe.compute_conv_feature_map_size()
                 * self.batch_size * 2 * 6
             )
-            self.remat = est > 12 * 1024**3
+            self.remat = "big" if est > 12 * 1024**3 else False
             self.print_to_log_file(
-                f"auto remat: {'on' if self.remat else 'off'} "
+                f"auto remat: {self.remat!r} "
                 f"(activation estimate {est / 1024**3:.1f} GiB)"
             )
         self.network = NexToU(

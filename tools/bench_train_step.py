@@ -24,7 +24,11 @@ def main():
         dec = tuple(dataclasses.replace(t, gnn=(), n_conv=t.n_conv + (1 if t.gnn else 0)) for t in spec.decoder)
         spec = dataclasses.replace(spec, encoder=enc, decoder=dec)
         print("conv-only variant", flush=True)
-    model = NexToU(spec=spec, dtype=jnp.bfloat16, remat=os.environ.get("NEXTOU_BENCH_REMAT", "1") == "1")
+    _remat = {"1": True, "0": False, "big": "big"}[
+        os.environ.get("NEXTOU_BENCH_REMAT", "1")
+    ]
+    model = NexToU(spec=spec, dtype=jnp.bfloat16, remat=_remat)
+    print(f"remat={_remat!r}", flush=True)
     import os
     B = int(os.environ.get("NEXTOU_TRAIN_BENCH_BATCH", "1"))
     rng = np.random.default_rng(0)
