@@ -10,12 +10,26 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy_elementwise(logits: jax.Array, target: jax.Array) -> jax.Array:
-    """Per-voxel CE. logits (B, *sp, C), target (B, *sp) int -> (B, *sp) f32."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    tgt = jnp.clip(target, 0, logits.shape[-1] - 1)
-    picked = jnp.take_along_axis(logp, tgt[..., None].astype(jnp.int32), axis=-1)
-    return -picked[..., 0]
+def cross_entropy_elementwise(
+    logits: jax.Array, target: jax.Array, channels_last: bool = True
+) -> jax.Array:
+    """Per-voxel CE. logits (B, *sp, C) — or (B, C, *sp) with
+    ``channels_last=False`` — target (B, *sp) int -> (B, *sp) f32.
+
+    Computed channel-major (B, C, V): a small class dim on the TPU lane axis
+    pads C up to 128 (9x HBM for C=14 at flagship shapes); V-minor is ~free.
+    """
+    B = logits.shape[0]
+    C = logits.shape[-1] if channels_last else logits.shape[1]
+    sp = target.shape[1:]
+    if channels_last:
+        lcm = jnp.swapaxes(logits.reshape(B, -1, C), 1, 2).astype(jnp.float32)
+    else:
+        lcm = logits.reshape(B, C, -1).astype(jnp.float32)
+    logp = jax.nn.log_softmax(lcm, axis=1)  # (B, C, V)
+    tgt = jnp.clip(target.reshape(B, 1, -1), 0, C - 1).astype(jnp.int32)
+    picked = jnp.take_along_axis(logp, tgt, axis=1)[:, 0]
+    return -picked.reshape(B, *sp)
 
 
 def cross_entropy_loss(
@@ -23,8 +37,9 @@ def cross_entropy_loss(
     target: jax.Array,
     *,
     ignore_index: int | None = None,
+    channels_last: bool = True,
 ) -> jax.Array:
-    ce = cross_entropy_elementwise(logits, target)
+    ce = cross_entropy_elementwise(logits, target, channels_last)
     if ignore_index is None:
         return jnp.mean(ce)
     mask = (target != ignore_index).astype(jnp.float32)

@@ -54,8 +54,10 @@ def dc_ce_ti_loss(
     spec: CompoundLossSpec,
     *,
     axis_name: str | None = None,
+    channels_last: bool = True,
 ) -> jax.Array:
-    """logits (B, *sp, C), target (B, *sp) int -> scalar.
+    """logits (B, *sp, C) — or (B, C, *sp) with ``channels_last=False``,
+    the training path's TPU layout — target (B, *sp) int -> scalar.
 
     Ignore-label handling mirrors ``compound_bti_loss.py:40-57``: the Dice
     term is masked, the CE term uses ignore_index, and ignored voxels are
@@ -73,21 +75,26 @@ def dc_ce_ti_loss(
         from nextou_tpu.losses.dice import region_soft_dice_loss
 
         tgt_r = region_targets(target_dice, spec.regions).astype(jnp.float32)
+        if not channels_last:
+            tgt_r = jnp.moveaxis(tgt_r, -1, 1)
         total = jnp.zeros((), jnp.float32)
         if spec.weight_dice != 0:
             total = total + spec.weight_dice * region_soft_dice_loss(
                 logits, tgt_r,
                 batch_dice=spec.batch_dice, smooth=spec.smooth,
                 loss_mask=loss_mask, axis_name=axis_name,
+                channels_last=channels_last,
             )
         if spec.weight_ce != 0:  # BCE plays CE's role in region mode
             logp = jax.nn.log_sigmoid(logits.astype(jnp.float32))
             logq = jax.nn.log_sigmoid(-logits.astype(jnp.float32))
             bce = -(tgt_r * logp + (1.0 - tgt_r) * logq)
             if loss_mask is not None:
-                m = loss_mask.astype(jnp.float32)[..., None]
+                m = loss_mask.astype(jnp.float32)
+                m = m[..., None] if channels_last else m[:, None]
+                n_regions = bce.shape[-1] if channels_last else bce.shape[1]
                 total = total + spec.weight_ce * (
-                    jnp.sum(bce * m) / jnp.clip(jnp.sum(m) * bce.shape[-1], min=1.0)
+                    jnp.sum(bce * m) / jnp.clip(jnp.sum(m) * n_regions, min=1.0)
                 )
             else:
                 total = total + spec.weight_ce * jnp.mean(bce)
@@ -103,15 +110,19 @@ def dc_ce_ti_loss(
             smooth=spec.smooth,
             loss_mask=loss_mask,
             axis_name=axis_name,
+            channels_last=channels_last,
         )
     if spec.weight_ce != 0:
         total = total + spec.weight_ce * cross_entropy_loss(
-            logits, target, ignore_index=spec.ignore_label
+            logits, target, ignore_index=spec.ignore_label,
+            channels_last=channels_last,
         )
     if spec.weight_ti != 0 and spec.ti is not None and spec.ti.interactions:
         # reference passes the raw target to TI; with an ignore label present
         # we clamp it into range for the CE gather (ignored voxels are
         # extremely unlikely to be critical; parity unaffected when
         # ignore_label is None, which is the case for every reference dataset)
-        total = total + spec.weight_ti * ti_loss(logits, target_dice, spec.ti)
+        total = total + spec.weight_ti * ti_loss(
+            logits, target_dice, spec.ti, channels_last=channels_last
+        )
     return total

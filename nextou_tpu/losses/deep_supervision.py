@@ -38,6 +38,7 @@ def deep_supervised_loss(
     target: jax.Array,
     loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
     weights: Sequence[float] | None = None,
+    channels_last: bool = True,
 ) -> jax.Array:
     """Weighted sum of ``loss_fn`` over the DS pyramid. Zero-weight entries
     are skipped entirely (the reference computes then multiplies by 0)."""
@@ -47,6 +48,7 @@ def deep_supervised_loss(
     for w, out in zip(weights, outputs):
         if float(w) == 0.0:
             continue
-        tgt = downsample_target(target, out.shape[1:-1])
+        out_sp = out.shape[1:-1] if channels_last else out.shape[2:]
+        tgt = downsample_target(target, out_sp)
         total = total + float(w) * loss_fn(out, tgt)
     return total

@@ -23,39 +23,51 @@ def soft_dice_loss(
     smooth: float = 1e-5,
     loss_mask: jax.Array | None = None,
     axis_name: str | None = None,
+    channels_last: bool = True,
 ) -> jax.Array:
     """Soft Dice on softmax probabilities.
 
     Args:
-        logits: ``(B, *spatial, C)`` raw scores.
+        logits: ``(B, *spatial, C)`` raw scores — or ``(B, C, *spatial)``
+            with ``channels_last=False`` (the training path's TPU-friendly
+            channel-major layout).
         target: ``(B, *spatial)`` integer labels.
         loss_mask: optional ``(B, *spatial)`` {0,1} mask (ignore-label support).
     Returns:
         scalar loss = ``-mean(dice)``.
     """
-    num_classes = logits.shape[-1]
+    num_classes = logits.shape[-1] if channels_last else logits.shape[1]
     B = logits.shape[0]
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    # memory-efficient statistics: never materialize the one-hot target —
-    # gather the true-class probability per voxel and scatter-add it (and
-    # the voxel counts) into per-class bins. Saves ~2 full-volume f32
-    # temporaries vs the one-hot formulation (the flagship train step
-    # otherwise exceeds a v5e chip's HBM).
-    flat_t = target.reshape(B, -1).astype(jnp.int32)
-    probs_flat = probs.reshape(B, -1, num_classes)
-    p_true = jnp.take_along_axis(probs_flat, flat_t[..., None], axis=-1)[..., 0]
+    # memory-efficient statistics, computed CHANNEL-MAJOR:
+    # - never materialize the one-hot target: gather the true-class
+    #   probability per voxel and scatter-add it (and the voxel counts) into
+    #   per-class bins — saves ~2 full-volume f32 temporaries;
+    # - transpose to (B, C, V) before the f32 softmax: with the small class
+    #   dim minor, TPU tiling pads C to the 128-lane width (a measured 9.1x
+    #   HBM expansion for C=14 at flagship shapes — the difference between
+    #   fitting batch 2 on a v5e chip or not); V-minor tiles pad ~1x.
+    flat_t = target.reshape(B, 1, -1).astype(jnp.int32)  # (B, 1, V)
+    if channels_last:
+        logits_cm = jnp.swapaxes(
+            logits.reshape(B, -1, num_classes), 1, 2
+        ).astype(jnp.float32)  # (B, C, V)
+    else:
+        logits_cm = logits.reshape(B, num_classes, -1).astype(jnp.float32)
+    probs = jax.nn.softmax(logits_cm, axis=1)
+    p_true = jnp.take_along_axis(probs, flat_t, axis=1)[:, 0]  # (B, V)
     ones = jnp.ones_like(p_true)
     if loss_mask is not None:
         m = loss_mask.reshape(B, -1).astype(jnp.float32)
         p_true = p_true * m
         ones = m
-        probs_flat = probs_flat * m[..., None]
+        probs = probs * m[:, None, :]
+    flat_t = flat_t[:, 0]
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     intersect = jnp.zeros((B, num_classes), jnp.float32).at[rows, flat_t].add(
         p_true
     )
     sum_gt = jnp.zeros((B, num_classes), jnp.float32).at[rows, flat_t].add(ones)
-    sum_pred = jnp.sum(probs_flat, axis=1)
+    sum_pred = jnp.sum(probs, axis=2)
     if not do_bg:
         intersect = intersect[:, 1:]
         sum_gt = sum_gt[:, 1:]
@@ -85,6 +97,7 @@ def region_soft_dice_loss(
     smooth: float = 1e-5,
     loss_mask: jax.Array | None = None,
     axis_name: str | None = None,
+    channels_last: bool = True,
 ) -> jax.Array:
     """Sigmoid (multi-label) soft Dice for region-based training.
 
@@ -93,16 +106,22 @@ def region_soft_dice_loss(
     binary region masks; there is no background channel.
 
     Args:
-        logits: ``(B, *sp, R)``.
-        target_regions: ``(B, *sp, R)`` binary {0,1}.
+        logits: ``(B, *sp, R)`` (or ``(B, R, *sp)`` with
+            ``channels_last=False``; ``target_regions`` matches the layout).
+        target_regions: binary {0,1}, same layout as ``logits``.
     """
     probs = jax.nn.sigmoid(logits.astype(jnp.float32))
     tgt = target_regions.astype(jnp.float32)
     if loss_mask is not None:
-        m = loss_mask.astype(jnp.float32)[..., None]
+        m = loss_mask.astype(jnp.float32)
+        m = m[..., None] if channels_last else m[:, None]
         probs = probs * m
         tgt = tgt * m
-    spatial = tuple(range(1, logits.ndim - 1))
+    spatial = (
+        tuple(range(1, logits.ndim - 1))
+        if channels_last
+        else tuple(range(2, logits.ndim))
+    )
     intersect = jnp.sum(probs * tgt, axis=spatial)
     sum_pred = jnp.sum(probs, axis=spatial)
     sum_gt = jnp.sum(tgt, axis=spatial)

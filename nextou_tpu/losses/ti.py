@@ -138,16 +138,22 @@ def critical_voxels_map(p: jax.Array, spec: TILossSpec) -> jax.Array:
     return crit.astype(jnp.float32)
 
 
-def ti_loss(logits: jax.Array, target: jax.Array, spec: TILossSpec) -> jax.Array:
+def ti_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    spec: TILossSpec,
+    channels_last: bool = True,
+) -> jax.Array:
     """TI/BTI loss: critical-voxel-masked CE, space-summed, batch-meaned.
 
     Args:
-        logits: (B, *sp, C); target: (B, *sp) int.
+        logits: (B, *sp, C) — or (B, C, *sp) with ``channels_last=False``;
+        target: (B, *sp) int.
     """
     if not spec.interactions:
         return jnp.zeros((), jnp.float32)
-    p = jnp.argmax(logits, axis=-1)
+    p = jnp.argmax(logits, axis=-1 if channels_last else 1)
     crit = critical_voxels_map(p, spec)
-    ce = cross_entropy_elementwise(logits, target)
+    ce = cross_entropy_elementwise(logits, target, channels_last)
     spatial_axes = tuple(range(1, ce.ndim))
     return jnp.mean(jnp.sum(ce * crit, axis=spatial_axes))

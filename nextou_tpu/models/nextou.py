@@ -153,6 +153,40 @@ class DecoderStage(nn.Module):
         return x
 
 
+class SegHead(nn.Module):
+    """1x1 segmentation head (param-compatible with ``nn.Conv``: 'kernel'
+    (*1s, Cin, num_classes) + 'bias').
+
+    ``channel_major=True`` emits (B, num_classes, *spatial) f32 via an
+    einsum, so the small class dim never sits on the TPU lane axis (see
+    ``NexToU.channel_major_logits``)."""
+
+    num_classes: int
+    spatial_dims: int
+    channel_major: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kshape = (1,) * self.spatial_dims + (x.shape[-1], self.num_classes)
+        kernel = self.param("kernel", conv_he_normal, kshape, jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_classes,), jnp.float32
+        )
+        dt = self.dtype or x.dtype
+        w = kernel.reshape(x.shape[-1], self.num_classes).astype(dt)
+        if self.channel_major:
+            out = jnp.einsum("b...i,ic->bc...", x.astype(dt), w)
+            # stay in compute dtype: the loss upcasts after its (B, C, V)
+            # reshape; f32 DS logits would cost ~2x the HBM for nothing
+            # (they were computed in `dt` anyway)
+            return out + bias.astype(dt).reshape(
+                (1, self.num_classes) + (1,) * self.spatial_dims
+            )
+        out = x.astype(dt) @ w + bias.astype(dt)
+        return out.astype(jnp.float32)
+
+
 _REMAT_BIG_BYTES = 64 * 1024 * 1024  # bf16 bytes per batch element
 
 
@@ -193,6 +227,12 @@ class NexToU(nn.Module):
     # high-resolution conv stages) while the cheap-to-store deep/GNN stages
     # keep their activations, so the recompute overhead stays small.
     remat: Any = False
+    # Emit logits as (B, num_classes, *spatial) instead of channels-last.
+    # TPU tiling pads the minor-most dims to (8, 128): a small class count on
+    # the lane axis inflates the full-res f32 logits 9.1x in HBM (measured,
+    # C=14 flagship) — with spatial minor the padding is ~1x. The training
+    # path uses this; inference keeps channels-last (softmax/blending reads).
+    channel_major_logits: bool = False
 
     def compute_conv_feature_map_size(self, input_size=None) -> int:
         """Total conv output elements of a forward pass — the VRAM proxy
@@ -239,17 +279,15 @@ class NexToU(nn.Module):
                 x, skips[-(i + 2)], train
             )
             # all seg heads are always *built* so params always exist
-            head = nn.Conv(
-                features=s.num_classes,
-                kernel_size=(1,) * s.spatial_dims,
-                use_bias=True,
-                kernel_init=conv_he_normal,
+            head = SegHead(
+                num_classes=s.num_classes,
+                spatial_dims=s.spatial_dims,
+                channel_major=self.channel_major_logits,
                 dtype=self.dtype,
-                param_dtype=jnp.float32,
                 name=f"seg_head_{i}",
             )
             if s.deep_supervision or i == n_dec - 1:
-                seg_outputs.append(head(x).astype(jnp.float32))
+                seg_outputs.append(head(x))
             else:
                 # initialize params without computing over the full map
                 dummy = jnp.zeros(

@@ -46,6 +46,8 @@ def make_train_step(
     touch the old state afterwards on TPU/GPU backends.
     """
 
+    cl = not getattr(model, "channel_major_logits", False)
+
     def loss_fn(params, state: TrainState, rngs, batch):
         variables = {"params": params}
         if state.batch_stats:
@@ -64,8 +66,9 @@ def make_train_step(
         loss = deep_supervised_loss(
             outs,
             batch["seg"],
-            lambda o, t: dc_ce_ti_loss(o, t, loss_spec),
+            lambda o, t: dc_ce_ti_loss(o, t, loss_spec, channels_last=cl),
             ds_weights,
+            channels_last=cl,
         )
         return loss, mutated.get("batch_stats", state.batch_stats)
 
@@ -110,6 +113,8 @@ def make_eval_step(
     """Validation step: DS loss + global hard-Dice statistics (tp/fp/fn per
     foreground class on the full-res argmax), as nnU-Net's validation_step."""
 
+    cl = not getattr(model, "channel_major_logits", False)
+
     @jax.jit
     def eval_step(state: TrainState, batch):
         variables = state.model_variables()
@@ -119,11 +124,12 @@ def make_eval_step(
         loss = deep_supervised_loss(
             outs,
             batch["seg"],
-            lambda o, t: dc_ce_ti_loss(o, t, loss_spec),
+            lambda o, t: dc_ce_ti_loss(o, t, loss_spec, channels_last=cl),
             ds_weights,
+            channels_last=cl,
         )
         logits = outs[0]
-        num_classes = logits.shape[-1]
+        num_classes = logits.shape[-1] if cl else logits.shape[1]
         seg = batch["seg"]
         tp, fp, fn = [], [], []
         if loss_spec.regions is not None:
@@ -133,13 +139,13 @@ def make_eval_step(
             gt = region_targets(seg, loss_spec.regions)
             axes = tuple(range(seg.ndim))
             for i in range(len(loss_spec.regions)):
-                p = logits[..., i] > 0
+                p = (logits[..., i] if cl else logits[:, i]) > 0
                 g = gt[..., i]
                 tp.append(jnp.sum(p & g, axis=axes))
                 fp.append(jnp.sum(p & ~g, axis=axes))
                 fn.append(jnp.sum(~p & g, axis=axes))
         else:
-            pred = jnp.argmax(logits, axis=-1)
+            pred = jnp.argmax(logits, axis=-1 if cl else 1)
             axes = tuple(range(pred.ndim))
             for c in range(1, num_classes):
                 p = pred == c

@@ -247,7 +247,14 @@ class NexToUTrainer:
                 f"(activation estimate {est / 1024**3:.1f} GiB)"
             )
         self.network = NexToU(
-            spec=self.model_spec, dtype=self.compute_dtype, remat=self.remat
+            spec=self.model_spec,
+            dtype=self.compute_dtype,
+            remat=self.remat,
+            # channel-major logits for training: the small class dim on the
+            # TPU lane axis would pad the full-res f32 logits up to 9x in
+            # HBM; inference models keep channels-last (built separately in
+            # predict.build_predictor)
+            channel_major_logits=True,
         )
         self.loss_spec = self._loss_spec()
         n_ds = len(self.model_spec.decoder)

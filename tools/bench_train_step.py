@@ -27,7 +27,8 @@ def main():
     _remat = {"1": True, "0": False, "big": "big"}[
         os.environ.get("NEXTOU_BENCH_REMAT", "1")
     ]
-    model = NexToU(spec=spec, dtype=jnp.bfloat16, remat=_remat)
+    model = NexToU(spec=spec, dtype=jnp.bfloat16, remat=_remat,
+                   channel_major_logits=True)
     print(f"remat={_remat!r}", flush=True)
     import os
     B = int(os.environ.get("NEXTOU_TRAIN_BENCH_BATCH", "1"))
