@@ -241,7 +241,15 @@ class NexToUTrainer:
                 net_probe.compute_conv_feature_map_size()
                 * self.batch_size * 2 * 6
             )
-            self.remat = "big" if est > 12 * 1024**3 else False
+            # measured on v5e-16GB at flagship scale: est ~13 GiB (B=1)
+            # fits with 'big' (700 ms/patch), est ~26 GiB (B=2) needs full
+            # remat (680 ms/patch at B=2); under 12 GiB store everything
+            if est <= 12 * 1024**3:
+                self.remat = False
+            elif est <= 20 * 1024**3:
+                self.remat = "big"
+            else:
+                self.remat = True
             self.print_to_log_file(
                 f"auto remat: {self.remat!r} "
                 f"(activation estimate {est / 1024**3:.1f} GiB)"
