@@ -20,6 +20,16 @@ import argparse
 import json
 import os
 
+
+def main_extract_fingerprint(argv=None):
+    """``nnUNetv2_extract_fingerprint`` alias: fingerprint only."""
+    return main((argv or __import__("sys").argv[1:]) + ["--fingerprint-only"])
+
+
+def main_plan_experiment(argv=None):
+    """``nnUNetv2_plan_experiment`` alias: fingerprint + plans, no data."""
+    return main((argv or __import__("sys").argv[1:]) + ["--no-preprocess"])
+
 import numpy as np
 
 
@@ -123,6 +133,9 @@ def main(argv=None):
     ap.add_argument("--verify_dataset_integrity", action="store_true",
                     help="check the raw dataset (channels/labels/shapes/"
                          "spacings) before planning, like nnU-Net")
+    ap.add_argument("--fingerprint-only", action="store_true",
+                    help="stop after writing dataset_fingerprint.json "
+                         "(the nnUNetv2_extract_fingerprint stage)")
     args = ap.parse_args(argv)
 
     from nextou_tpu.paths import resolve_raw
@@ -154,6 +167,8 @@ def main(argv=None):
     fp_out = {k: v for k, v in fp.items()}
     with open(os.path.join(args.output, "dataset_fingerprint.json"), "w") as f:
         json.dump(fp_out, f, indent=2)
+    if args.fingerprint_only:
+        return
 
     print("planning experiment ...")
     plans = plan_experiment(
