@@ -25,6 +25,7 @@ Semantics notes:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -203,6 +204,11 @@ def knn_max_neighbors(
     M = vals.shape[1]
     platform = jax.devices()[0].platform
     interpret = platform != "tpu"
+    if interpret and os.environ.get("NEXTOU_PALLAS_INTERPRET", "0") != "1":
+        # the Pallas interpreter is an order of magnitude slower than the
+        # XLA path — off-TPU it exists for kernel parity tests only
+        # (tests set NEXTOU_PALLAS_INTERPRET=1)
+        return knn_max_neighbors_reference(x, k, y, relative_pos)
 
     # Per-graph VMEM footprint (f32): candidate tiles (2x), query/out tiles,
     # plus dist/iota/onehot scratch (~4x tile*M).

@@ -1,6 +1,10 @@
 """Pallas kNN+max kernel parity vs the XLA reference path (interpret mode on
 CPU; the same code compiles with Mosaic on TPU)."""
 
+import os
+
+os.environ["NEXTOU_PALLAS_INTERPRET"] = "1"  # run the kernel, not the fallback
+
 import numpy as np
 import jax
 import jax.numpy as jnp
