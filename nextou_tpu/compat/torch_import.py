@@ -27,8 +27,10 @@ loudly). Weight-layout transforms:
   kernel==stride case nnU-Net uses).
 - BatchNorm weight/bias/running_mean/running_var -> scale/bias + mean/var;
   InstanceNorm(affine) weight/bias -> scale/bias.
-- ``relative_pos`` buffers are skipped: our model regenerates them (stored
-  negated in 'constants', same construction, ``NexToU_Encoder_Decoder.py:742``).
+- ``relative_pos`` buffers are imported into the 'constants' collection when
+  the template carries matching entries (the reference stores them negated,
+  ``NexToU_Encoder_Decoder.py:742``; ours are built identically, so imported
+  and regenerated tables coincide — importing keeps bit-parity exact).
 """
 
 from __future__ import annotations

@@ -31,6 +31,12 @@ def main(argv=None):
     ap.add_argument("-tr", "--trainer", default="nnUNetTrainer_NexToU")
     ap.add_argument("-p", "--plans", default=None)
     ap.add_argument("-o", "--output", required=True)
+    ap.add_argument(
+        "--trust-checkpoint",
+        action="store_true",
+        help="allow full (arbitrary-pickle) torch.load for checkpoints that "
+        "weights_only loading rejects; only use on files you trust",
+    )
     args = ap.parse_args(argv)
 
     import torch
@@ -62,7 +68,22 @@ def main(argv=None):
         output_folder=args.output,
     ).initialize()
 
-    ckpt = torch.load(args.torch_checkpoint, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(
+            args.torch_checkpoint, map_location="cpu", weights_only=True
+        )
+    except Exception:
+        # nnU-Net checkpoints pickle non-tensor objects (plans dicts etc.);
+        # full unpickling executes arbitrary code, so it is opt-in
+        if not args.trust_checkpoint:
+            raise SystemExit(
+                "checkpoint requires full pickle loading (arbitrary code "
+                "execution risk); re-run with --trust-checkpoint if you "
+                "trust this file"
+            )
+        ckpt = torch.load(
+            args.torch_checkpoint, map_location="cpu", weights_only=False
+        )
     sd = extract_network_weights(ckpt)
     template = jax.device_get(trainer.state.model_variables())
     variables = torch_state_dict_to_variables(sd, template, trainer.model_spec)

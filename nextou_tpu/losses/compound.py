@@ -118,11 +118,15 @@ def dc_ce_ti_loss(
             channels_last=channels_last,
         )
     if spec.weight_ti != 0 and spec.ti is not None and spec.ti.interactions:
-        # reference passes the raw target to TI; with an ignore label present
-        # we clamp it into range for the CE gather (ignored voxels are
-        # extremely unlikely to be critical; parity unaffected when
-        # ignore_label is None, which is the case for every reference dataset)
+        # reference passes the raw target to TI (no reference dataset uses an
+        # ignore label); here the target is clamped into range for the CE
+        # gather and the critical map is ANDed with the loss mask so ignored
+        # voxels never contribute
         total = total + spec.weight_ti * ti_loss(
-            logits, target_dice, spec.ti, channels_last=channels_last
+            logits,
+            target_dice,
+            spec.ti,
+            channels_last=channels_last,
+            loss_mask=loss_mask,
         )
     return total

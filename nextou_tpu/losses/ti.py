@@ -143,17 +143,24 @@ def ti_loss(
     target: jax.Array,
     spec: TILossSpec,
     channels_last: bool = True,
+    loss_mask: jax.Array | None = None,
 ) -> jax.Array:
     """TI/BTI loss: critical-voxel-masked CE, space-summed, batch-meaned.
 
     Args:
         logits: (B, *sp, C) — or (B, C, *sp) with ``channels_last=False``;
         target: (B, *sp) int.
+        loss_mask: optional (B, *sp) bool — voxels outside it (e.g. an
+            ignore label) can neither be critical nor contribute CE. The
+            reference has no ignore-label datasets, so this is an extension,
+            not a deviation.
     """
     if not spec.interactions:
         return jnp.zeros((), jnp.float32)
     p = jnp.argmax(logits, axis=-1 if channels_last else 1)
     crit = critical_voxels_map(p, spec)
+    if loss_mask is not None:
+        crit = crit * loss_mask.astype(crit.dtype)
     ce = cross_entropy_elementwise(logits, target, channels_last)
     spatial_axes = tuple(range(1, ce.ndim))
     return jnp.mean(jnp.sum(ce * crit, axis=spatial_axes))

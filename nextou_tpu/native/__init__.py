@@ -45,20 +45,25 @@ def _build() -> str | None:
     so = os.path.join(cache, f"libnextou_native_{tag}.so")
     if os.path.exists(so):
         return so
-    with tempfile.TemporaryDirectory() as td:
-        tmp = os.path.join(td, "out.so")
-        cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-            _SRC, "-o", tmp,
-        ]
-        try:
-            subprocess.run(
-                cmd, check=True, capture_output=True, timeout=300
-            )
-        except Exception as e:  # compiler missing / failed: scipy fallback
-            print(f"[nextou_tpu.native] build failed: {e}", file=sys.stderr)
-            return None
+    # build into the cache dir itself: os.replace across filesystems
+    # (tmpfs /tmp -> cache) raises EXDEV, which must not escape available()
+    tmp = so + f".tmp{os.getpid()}"
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        _SRC, "-o", tmp,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(tmp, so)
+    except Exception as e:  # compiler missing / failed: scipy fallback
+        print(f"[nextou_tpu.native] build failed: {e}", file=sys.stderr)
+        return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     return so
 
 

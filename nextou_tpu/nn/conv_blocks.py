@@ -17,7 +17,7 @@ import jax
 
 import flax.linen as nn
 
-from nextou_tpu.nn.layers import FoldedConv, act, make_norm
+from nextou_tpu.nn.layers import ActLayer, FoldedConv, make_norm
 
 
 class ConvNormAct(nn.Module):
@@ -41,7 +41,7 @@ class ConvNormAct(nn.Module):
             name="conv",
         )(x)
         x = make_norm(self.norm, train=train, name="norm", dtype=self.dtype)(x)
-        return act(self.act_name, x)
+        return ActLayer(self.act_name, name="act")(x)
 
 
 class StackedConvBlocks(nn.Module):

@@ -27,7 +27,7 @@ import flax.linen as nn
 
 from nextou_tpu.core.pos_embed import relative_pos_bias
 from nextou_tpu.core.window import window_partition, window_reverse
-from nextou_tpu.nn.layers import act, make_norm, DropPath, he_normal_init
+from nextou_tpu.nn.layers import ActLayer, make_norm, DropPath, he_normal_init
 from nextou_tpu.nn.graph_conv import DyGraphConv, PoolDyGraphConv
 
 
@@ -66,7 +66,7 @@ class FFN(nn.Module):
         shortcut = x
         out_features = self.out_features or x.shape[-1]
         x = _Fc(self.hidden_features, self.norm, self.dtype, name="fc1")(x, train=train)
-        x = act(self.act_name, x)
+        x = ActLayer(self.act_name, name="act")(x)
         x = _Fc(out_features, self.norm, self.dtype, name="fc2")(x, train=train)
         return DropPath(self.drop_path, name="drop_path")(x, train=train) + shortcut
 

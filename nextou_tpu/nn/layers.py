@@ -136,7 +136,11 @@ class FoldedConv(nn.Module):
 
 
 def act(name: str, x: jax.Array, neg_slope: float = 1e-2) -> jax.Array:
-    """Functional activation dispatch (reference ``torch_nn.py:13-29``)."""
+    """Functional activation dispatch (reference ``torch_nn.py:13-29``).
+
+    'prelu' is parametric (learnable slope) and therefore lives in
+    :class:`PReLU` / :class:`ActLayer`; it cannot be expressed functionally.
+    """
     name = name.lower()
     if name == "relu":
         return jax.nn.relu(x)
@@ -146,7 +150,54 @@ def act(name: str, x: jax.Array, neg_slope: float = 1e-2) -> jax.Array:
         return jax.nn.gelu(x, approximate=False)
     if name == "hswish":
         return jax.nn.hard_swish(x)
+    if name == "prelu":
+        raise NotImplementedError(
+            "prelu is parametric — use ActLayer/PReLU (module form)"
+        )
     raise NotImplementedError(f"activation [{name}] is not found")
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU, ``torch.nn.PReLU(num_parameters, init)`` semantics
+    (reference ``torch_nn.py:21-22``): ``max(0,x) + alpha * min(0,x)`` with a
+    learnable ``alpha`` of ``n_prelu`` entries broadcast over the channel
+    (last) axis.
+
+    NOTE: :func:`nextou_tpu.utils.init.fast_init` materializes ``alpha`` at
+    the reference default 1e-2 (``act_layer``'s ``neg_slope``); a different
+    ``init`` only takes effect under flax's own ``Module.init``.
+    """
+
+    n_prelu: int = 1
+    init_value: float = 1e-2
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param(
+            "alpha",
+            lambda key, shape: jnp.full(shape, self.init_value, jnp.float32),
+            (self.n_prelu,),
+        )
+        a = alpha.astype(x.dtype)
+        if self.n_prelu > 1:
+            assert x.shape[-1] == self.n_prelu, (x.shape, self.n_prelu)
+        return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
+class ActLayer(nn.Module):
+    """Module-form activation dispatch (reference ``act_layer``,
+    ``torch_nn.py:13-29``): like :func:`act` but supports the parametric
+    'prelu'."""
+
+    name_: str
+    neg_slope: float = 1e-2
+    n_prelu: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.name_.lower() == "prelu":
+            return PReLU(n_prelu=self.n_prelu, init_value=self.neg_slope)(x)
+        return act(self.name_, x, self.neg_slope)
 
 
 class InstanceNorm(nn.Module):
@@ -276,5 +327,45 @@ class GroupedMLP(nn.Module):
                     self.norm, train=train, name=f"norm_{i - 1}", dtype=self.dtype
                 )(x)
             if self.act_name is not None and self.act_name.lower() != "none":
-                x = act(self.act_name, x)
+                x = ActLayer(self.act_name, name=f"act_{i - 1}")(x)
+        return x
+
+
+class MLP(nn.Module):
+    """Dense-layer MLP (reference ``torch_nn.py:54-64``): per width in
+    ``channels[1:]``, a Linear (+ activation, + norm). Unused by NexToU
+    upstream; provided for API completeness.
+
+    Faithful quirk: the reference constructs every norm with ``channels[-1]``
+    features, so with ``norm`` set the intermediate widths must all equal the
+    final width (torch would raise a shape error otherwise) — asserted here.
+    """
+
+    channels: Sequence[int]
+    act_name: str | None = "relu"
+    norm: str | None = None
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
+        assert x.shape[-1] == self.channels[0], (x.shape, self.channels)
+        for i in range(1, len(self.channels)):
+            x = GroupedDense(
+                features=self.channels[i],
+                groups=1,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name=f"lin_{i - 1}",
+            )(x)
+            if self.act_name is not None and self.act_name.lower() != "none":
+                x = ActLayer(self.act_name, name=f"act_{i - 1}")(x)
+            if self.norm is not None and self.norm.lower() != "none":
+                assert self.channels[i] == self.channels[-1], (
+                    "reference MLP builds norms with channels[-1] features "
+                    f"(torch_nn.py:63); got width {self.channels[i]}"
+                )
+                x = make_norm(
+                    self.norm, train=train, name=f"norm_{i - 1}", dtype=self.dtype
+                )(x)
         return x

@@ -73,6 +73,8 @@ def _materialize_leaf(path, leaf, rng: np.random.Generator):
 
     if name == "kernel":
         return (_he_std(shape) * rng.standard_normal(shape)).astype(dtype)
+    if name == "alpha":  # PReLU slope, reference act_layer default neg_slope
+        return np.full(shape, 1e-2, dtype)
     if name in ("scale",):
         return np.ones(shape, dtype)
     if name in ("bias",):

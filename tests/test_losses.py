@@ -158,3 +158,51 @@ def test_deep_supervised_compound_loss_runs():
     )
     loss = deep_supervised_loss(outs, target, lambda o, t: dc_ce_ti_loss(o, t, spec))
     assert np.isfinite(float(loss))
+
+
+def test_ti_ignore_label_masks_critical_voxels():
+    """Voxels carrying the ignore label must not contribute to the TI term.
+
+    Construct an exclusion violation whose critical voxels all carry the
+    ignore label: with them masked the TI contribution must be zero, and the
+    full compound loss must equal the same compound on a target where those
+    voxels are ordinary background handled by the Dice/CE masks.
+    """
+    from nextou_tpu.losses.compound import dc_ce_ti_loss
+
+    # predictions put class 1 and class 2 adjacent -> critical under [[1,2]]
+    logits = np.full((1, 6, 6, 4), -5.0, np.float32)
+    logits[..., 0] = 5.0
+    logits[0, 2, 1:3, :] = [-5, 5, -5, -5]  # pred class 1
+    logits[0, 2, 3:5, :] = [-5, -5, 5, -5]  # pred class 2 (adjacent)
+    target = np.zeros((1, 6, 6), np.int64)
+    target[0, 2, :] = 3  # ignore label over the entire critical row
+
+    spec_ti = TILossSpec.create(dim=2, connectivity=8, exclusion=[[1, 2]])
+    # sanity: without masking the TI term is nonzero
+    raw_ti = float(ti_loss(jnp.asarray(logits), jnp.asarray(target % 3), spec_ti))
+    assert raw_ti > 0
+    masked_ti = float(
+        ti_loss(
+            jnp.asarray(logits),
+            jnp.asarray(target % 3),
+            spec_ti,
+            loss_mask=jnp.asarray(target != 3),
+        )
+    )
+    assert masked_ti == 0.0
+
+    spec = CompoundLossSpec(
+        weight_ti=1.0,
+        ignore_label=3,
+        ti=spec_ti,
+    )
+    loss = float(dc_ce_ti_loss(jnp.asarray(logits), jnp.asarray(target), spec))
+    assert np.isfinite(loss)
+    # with the whole critical row ignored, TI adds nothing: same total as
+    # weight_ti=0
+    spec_no_ti = CompoundLossSpec(weight_ti=0.0, ignore_label=3, ti=spec_ti)
+    loss_no_ti = float(
+        dc_ce_ti_loss(jnp.asarray(logits), jnp.asarray(target), spec_no_ti)
+    )
+    assert abs(loss - loss_no_ti) < 1e-7

@@ -121,3 +121,78 @@ def test_mrconv_interleave_semantics():
             maxrel[:, c] * w[2 * c + 1, 0, 0] + b[2 * c + 1],
             atol=1e-5,
         )
+
+
+def test_prelu_matches_torch():
+    import torch
+
+    from nextou_tpu.nn.layers import ActLayer, PReLU
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 5, 6)).astype(np.float32)
+    mod = PReLU(n_prelu=1, init_value=0.25)
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert np.asarray(v["params"]["alpha"]).shape == (1,)
+    y = np.asarray(mod.apply(v, jnp.asarray(x)))
+    t = torch.nn.PReLU(num_parameters=1, init=0.25)
+    want = t(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(y, want, atol=1e-6)
+
+    # per-channel alpha broadcast over the (last) channel axis
+    mod = PReLU(n_prelu=6, init_value=0.1)
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    alpha = np.linspace(-0.3, 0.4, 6).astype(np.float32)
+    v = {"params": {"alpha": jnp.asarray(alpha)}}
+    y = np.asarray(mod.apply(v, jnp.asarray(x)))
+    t = torch.nn.PReLU(num_parameters=6)
+    with torch.no_grad():
+        t.weight.copy_(torch.from_numpy(alpha))
+    # torch PReLU broadcasts over dim 1; move channels there
+    want = (
+        t(torch.from_numpy(x.transpose(0, 2, 1)))
+        .detach().numpy().transpose(0, 2, 1)
+    )
+    np.testing.assert_allclose(y, want, atol=1e-6)
+
+    # ActLayer('prelu') routes to the parametric module
+    mod = ActLayer("prelu")
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert jax.tree_util.tree_leaves_with_path(v)[0][0][-1].key == "alpha"
+
+
+def test_mlp_matches_torch():
+    import torch
+
+    from nextou_tpu.nn.layers import MLP
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, 8)).astype(np.float32)
+    mod = MLP(channels=(8, 16, 4), act_name="relu")
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    # copy params into the torch equivalent (Lin->act per width,
+    # torch_nn.py:54-64)
+    lin0 = torch.nn.Linear(8, 16)
+    lin1 = torch.nn.Linear(16, 4)
+    with torch.no_grad():
+        lin0.weight.copy_(torch.from_numpy(
+            np.asarray(v["params"]["lin_0"]["kernel"])[0].T))
+        lin0.bias.copy_(torch.from_numpy(np.asarray(v["params"]["lin_0"]["bias"])))
+        lin1.weight.copy_(torch.from_numpy(
+            np.asarray(v["params"]["lin_1"]["kernel"])[0].T))
+        lin1.bias.copy_(torch.from_numpy(np.asarray(v["params"]["lin_1"]["bias"])))
+    t = torch.nn.Sequential(lin0, torch.nn.ReLU(), lin1, torch.nn.ReLU())
+    y = np.asarray(mod.apply(v, jnp.asarray(x), train=False))
+    want = t(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(y, want, atol=1e-5)
+
+
+def test_mlp_fast_init_and_prelu():
+    from nextou_tpu.nn.layers import MLP
+    from nextou_tpu.utils import fast_init
+
+    x = jnp.ones((2, 6))
+    mod = MLP(channels=(6, 6), act_name="prelu", norm="instance")
+    v = fast_init(mod, jax.random.PRNGKey(0), x, train=False)
+    assert float(v["params"]["act_0"]["PReLU_0"]["alpha"][0]) == pytest.approx(1e-2)
+    y = mod.apply(v, x, train=False)
+    assert y.shape == (2, 6)
