@@ -20,7 +20,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def main():
+def main(flagship: bool = False, iters: int | None = None):
     import torch
 
     import jax
@@ -30,10 +30,19 @@ def main():
 
     from nextou_tpu.compat.torch_stubs import load_reference_nextou
     from nextou_tpu.models import NexToU
-    from nextou_tpu.models.presets import small_3d_spec
+    from nextou_tpu.models.presets import flagship_3d_spec, small_3d_spec
     from nextou_tpu.utils import fast_init
 
-    spec = small_3d_spec(num_classes=3, deep_supervision=False)
+    if flagship:
+        # the real 3d_fullres_nextou shape — ~1.53 TFLOP/forward; on a
+        # single-core host one iteration is minutes, so default to 2
+        spec = flagship_3d_spec(num_classes=14, deep_supervision=False)
+        n = iters or 2
+        label = "flagship 3d_fullres_nextou (64x224x192, 14cls)"
+    else:
+        spec = small_3d_spec(num_classes=3, deep_supervision=False)
+        n = iters or 3
+        label = "small_3d (16x112x96)"
 
     # --- torch reference
     cls = load_reference_nextou()
@@ -64,19 +73,23 @@ def main():
     x = rng.standard_normal((1, 1, *spec.patch_size)).astype(np.float32)
 
     with torch.no_grad():
-        ref(torch.from_numpy(x))  # warm
         t0 = time.perf_counter()
-        n = 3
+        ref(torch.from_numpy(x))  # warm
+        print(f"torch warm fwd: {time.perf_counter() - t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
         for _ in range(n):
             ref(torch.from_numpy(x))
         t_torch = (time.perf_counter() - t0) / n
+        print(f"torch: {t_torch:.2f} s/fwd", flush=True)
 
     # --- ours (jit, CPU)
     model = NexToU(spec=spec, dtype=jnp.float32)
     xl = jnp.asarray(np.moveaxis(x, 1, -1))
     v = fast_init(model, jax.random.PRNGKey(0), xl, train=False)
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    t0 = time.perf_counter()
     fwd(v, xl)[0].block_until_ready()  # compile
+    print(f"jax compile+warm: {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fwd(v, xl)
@@ -84,10 +97,10 @@ def main():
     t_jax = (time.perf_counter() - t0) / n
 
     print(
-        f"small_3d fwd (CPU, fp32, 16x112x96): torch reference "
+        f"{label} fwd (CPU, fp32, same host/threads): torch reference "
         f"{t_torch*1e3:.0f} ms, nextou_tpu {t_jax*1e3:.0f} ms "
         f"({t_torch/t_jax:.2f}x)"
     )
 
 
-main()
+main(flagship="--flagship" in sys.argv)
