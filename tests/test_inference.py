@@ -148,14 +148,27 @@ def test_device_sliding_window_matches_host_path():
         data, spec.patch_size, spec.num_classes, tile_batch=3,
     )
     dev = make_device_sliding_predictor(
-        apply_fn, (0, 1), spec.patch_size, spec.num_classes, tile_batch=3
+        apply_fn, (0, 1), spec.patch_size, spec.num_classes, tile_batch=3,
+        transfer_dtype=jnp.float32,  # exact parity vs the f32 host path
     )(data)
     np.testing.assert_allclose(np.asarray(dev), host, atol=3e-5)
+    # the default transfer dtype is bf16 (halved upload): close in
+    # distribution, not voxel-exact (this random-init model has many
+    # near-tied logits; trained models are far less sensitive)
+    dev16 = np.asarray(
+        make_device_sliding_predictor(
+            apply_fn, (0, 1), spec.patch_size, spec.num_classes, tile_batch=3
+        )(data)
+    )
+    diff = np.abs(dev16 - host)
+    assert diff.mean() < 2e-2 and (diff > 0.25).mean() < 0.01, (
+        diff.mean(), (diff > 0.25).mean()
+    )
 
 
 def test_device_sliding_window_seg_output():
     """output='seg' must equal argmax of the probs output (device argmax,
-    weight division cancelled), int16, spatial-only shape."""
+    weight division cancelled), uint8 (<=255 classes), spatial-only shape."""
     from nextou_tpu.infer import make_device_sliding_predictor
     from nextou_tpu.models import NexToU
     from nextou_tpu.utils import fast_init
@@ -182,5 +195,5 @@ def test_device_sliding_window_seg_output():
         apply_fn, (0,), spec.patch_size, spec.num_classes, output="seg", **kw
     )(data)
     seg = np.asarray(seg)
-    assert seg.dtype == np.int16 and seg.shape == data.shape[:-1]
+    assert seg.dtype == np.uint8 and seg.shape == data.shape[:-1]
     np.testing.assert_array_equal(seg, np.argmax(np.asarray(probs), axis=-1))
