@@ -9,6 +9,7 @@ single MXU matmul, so ``BasicConv`` becomes :class:`GroupedMLP`.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 import jax
@@ -120,19 +121,55 @@ class FoldedConv(nn.Module):
         nd = len(k) - n_fold
         letters = "DHW"[-nd:] if nd <= 3 else None
         assert letters is not None
-        dn = (f"N{letters}C", f"{letters}IO", f"N{letters}C")
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=s[n_fold:],
-            padding=pad[n_fold:],
-            dimension_numbers=dn,
-        )
+        kk, ss, pp = k[n_fold:], s[n_fold:], pad[n_fold:]
+        if (
+            nd == 3
+            and kk[0] > 1
+            and ss == (1, 1, 1)
+            and os.environ.get("NEXTOU_DEC2D", "0") == "1"
+        ):
+            # decompose the unstrided 3D conv into kd depth-shifted 2D convs
+            # folded into the batch. Wins 1.1-2x standalone
+            # (tools/exp_conv_kernel.py bench2) but LOSES ~4 ms in the full
+            # model (breaks XLA's fusion with the adjacent norm/act and adds
+            # partial-sum traffic) — opt-in experiment, off by default
+            y = _dec2d_conv(x, kernel, pp)
+        else:
+            dn = (f"N{letters}C", f"{letters}IO", f"N{letters}C")
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=ss,
+                padding=pp,
+                dimension_numbers=dn,
+            )
         if n_fold:
             y = y.reshape(*lead, *y.shape[1:])
         if bias is not None:
             y = y + bias.astype(dt)
         return y
+
+
+def _dec2d_conv(x, kernel, pad):
+    """(N, D, H, W, C) x (kd, kh, kw, C, Co), stride 1: sum over kd of
+    D-shifted, depth-batched 2D convolutions."""
+    N, D, H, W, C = x.shape
+    kd = kernel.shape[0]
+    Co = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), pad[0], (0, 0), (0, 0), (0, 0)))
+    acc = None
+    for kdi in range(kd):
+        planes = jax.lax.slice_in_dim(xp, kdi, kdi + D, axis=1)
+        y2 = jax.lax.conv_general_dilated(
+            planes.reshape(N * D, H, W, C),
+            kernel[kdi],
+            window_strides=(1, 1),
+            padding=pad[1:],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        acc = y2 if acc is None else acc + y2
+    return acc.reshape(N, D, H, W, Co).astype(x.dtype)
 
 
 def act(name: str, x: jax.Array, neg_slope: float = 1e-2) -> jax.Array:
