@@ -46,7 +46,7 @@ A100_FWD_EST = 18.0  # patches/s forward, central estimate (band 12-27)
 A100_SW_EST = 15.0  # sliding-window tiles/s, central estimate (band 10-22.5)
 
 BATCH = int(os.environ.get("NEXTOU_BENCH_BATCH", "2"))
-TILE_BATCH = int(os.environ.get("NEXTOU_BENCH_TILE_BATCH", "2"))
+TILE_BATCH = int(os.environ.get("NEXTOU_BENCH_TILE_BATCH", "4"))
 VOL_SHAPE = (64, 280, 240)  # -> 4 flagship tiles at step 0.5
 
 
