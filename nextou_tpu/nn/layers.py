@@ -323,12 +323,28 @@ class GroupedDense(nn.Module):
         w = self.param("kernel", he_normal_init((1,)), (g, ci, co), jnp.float32)
         dt = self.dtype or x.dtype
         lead = x.shape[:-1]
-        xg = x.reshape(*lead, g, ci)
-        y = jnp.einsum(
-            "...gi,gio->...go", xg, w.astype(dt),
-            preferred_element_type=jnp.float32,
-        )
-        y = y.reshape(*lead, g * co)
+        if g > 1 and ci <= 96:
+            # tiny per-group contractions (flagship: ci=44..88) run the MXU
+            # at ~4 TF/s; scatter the groups into one block-diagonal
+            # (cin, features) weight and issue a single dense matmul — g x
+            # the nominal FLOPs at 6-10x the utilization (measured 7.4 ->
+            # ~3.5 ms for the stage-2 grouped MLP). Math-identical.
+            wb = jnp.zeros((cin, self.features), dt)
+            for gi in range(g):
+                wb = wb.at[
+                    gi * ci : (gi + 1) * ci, gi * co : (gi + 1) * co
+                ].set(w[gi].astype(dt))
+            y = jnp.einsum(
+                "...i,io->...o", x.astype(dt), wb,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            xg = x.reshape(*lead, g, ci)
+            y = jnp.einsum(
+                "...gi,gio->...go", xg, w.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            y = y.reshape(*lead, g * co)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b

@@ -76,5 +76,38 @@ def main():
           max_pool_with_argmax(x, (2, 2, 2))[1], (2, 2, 2)), xs)
 
 
-if __name__ == "__main__":
-    main()
+def main2():
+    """fc/norm/FFN micro-costs at stage-2 swin shapes (the big non-kernel
+    chunk of the GNN time)."""
+    import flax.linen as nn
+    from nextou_tpu.nn.layers import GroupedMLP, InstanceNorm
+    from nextou_tpu.nn.graphers import FFN
+
+    rng = np.random.default_rng(0)
+    B, S, H, W, C = 2, 64, 112, 96, 132
+    x = jnp.asarray(rng.standard_normal((B, S, H, W, C)), jnp.bfloat16)
+
+    bn = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+    vbn = bn.init(jax.random.PRNGKey(0), x)
+    t("s2 batchnorm(eval)", lambda x: bn.apply(vbn, x), x, n_large=10)
+
+    inorm = InstanceNorm(dtype=jnp.bfloat16)
+    vin = inorm.init(jax.random.PRNGKey(0), x)
+    t("s2 instancenorm", lambda x: inorm.apply(vin, x), x, n_large=10)
+
+    dense = nn.Dense(C, dtype=jnp.bfloat16)
+    vd = dense.init(jax.random.PRNGKey(0), x)
+    t("s2 dense CxC (fc1/fc2 core)", lambda x: dense.apply(vd, x), x, n_large=10)
+
+    gm = GroupedMLP(channels=(2 * C, 2 * C), act_name="leakyrelu", norm="instance", groups=6, dtype=jnp.bfloat16)
+    x2 = jnp.concatenate([x, x], axis=-1)
+    vg = gm.init({"params": jax.random.PRNGKey(0)}, x2, train=False)
+    t("s2 grouped MLP 2Cx2C g6 (+IN)", lambda x2: gm.apply(vg, x2, train=False), x2, n_large=6)
+
+    ffn = FFN(hidden_features=4 * C, act_name="leakyrelu", norm="batch", dtype=jnp.bfloat16)
+    vf = ffn.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, x, train=False)
+    t("s2 FFN (4x expand, bn)", lambda x: ffn.apply(vf, x, train=False), x, n_large=6)
+
+
+import sys as _sys
+(main2 if len(_sys.argv) > 1 and _sys.argv[1] == "parts2" else main)()
