@@ -52,13 +52,14 @@ class PatchDataLoader:
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
-        self._lock = threading.Lock()
 
     def _produce(self, tid: int):
         rng = self._rngs[tid]
         while not self._stop.is_set():
-            with self._lock:  # sampler RNG is shared state
-                data, seg, prev = self.sampler.sample_batch()
+            # per-thread RNG stream: sampling runs lock-free (the sampler's
+            # case cache has its own insert lock); previously a single shared
+            # RNG behind this loader's lock serialized the producer threads
+            data, seg, prev = self.sampler.sample_batch(rng=rng)
             if self.augment is not None:
                 data, seg, prev = augment_batch(
                     data, seg, self.augment, rng, prev

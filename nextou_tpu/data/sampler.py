@@ -8,6 +8,8 @@ borders are zero-padded (data) / padded with label 0 (seg).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from nextou_tpu.data.dataset import Case, PreprocessedDataset
@@ -53,35 +55,44 @@ class PatchSampler:
         self.oversample = oversample_foreground_percent
         self.rng = np.random.default_rng(seed)
         self._cache: dict[str, Case] = {}
+        self._cache_lock = threading.Lock()
         self.cache_cases = cache_cases
 
     def _get(self, case_id: str) -> Case:
         if self.cache_cases:
-            if case_id not in self._cache:
-                self._cache[case_id] = self.dataset.load(case_id)
-            return self._cache[case_id]
+            # thread-safe: loader threads share the sampler; only the cache
+            # insert needs the lock, loads run concurrently
+            case = self._cache.get(case_id)
+            if case is None:
+                case = self.dataset.load(case_id)
+                with self._cache_lock:
+                    case = self._cache.setdefault(case_id, case)
+            return case
         return self.dataset.load(case_id)
 
     def _sample_center(self, case: Case, force_fg: bool) -> np.ndarray:
-        return self._sample_center_for(case, force_fg, self.patch_size)
+        return self._sample_center_for(case, force_fg, self.patch_size, self.rng)
 
     def _sample_center_for(
-        self, case: Case, force_fg: bool, patch_size
+        self, case: Case, force_fg: bool, patch_size,
+        rng: np.random.Generator | None = None,
     ) -> np.ndarray:
+        rng = self.rng if rng is None else rng
         sp = np.array(case.seg.shape)
         if force_fg and case.class_locations:
-            cls = self.rng.choice(list(case.class_locations.keys()))
+            cls = rng.choice(list(case.class_locations.keys()))
             locs = case.class_locations[cls]
-            return locs[self.rng.integers(len(locs))].astype(np.int64)
+            return locs[rng.integers(len(locs))].astype(np.int64)
         ps = np.array(patch_size)
         lo = np.minimum(ps // 2, sp // 2)
         hi = np.maximum(sp - ps + ps // 2, lo + 1)
         return np.array(
-            [self.rng.integers(l, h) for l, h in zip(lo, hi)], np.int64
+            [rng.integers(l, h) for l, h in zip(lo, hi)], np.int64
         )
 
     def sample_batch(
         self,
+        rng: np.random.Generator | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
         """Returns data (B, C, *patch) float32, seg (B, *patch) int16, and —
         for cascade datasets — the previous-stage seg patch (B, *patch)
@@ -91,11 +102,12 @@ class PatchSampler:
         patch (nnU-Net's 2d-configuration training on volumetric data): the
         center voxel — foreground-oversampled or uniform — picks the slice.
         """
+        rng = self.rng if rng is None else rng
         n_fg = round(self.batch_size * self.oversample)
         datas, segs, prevs = [], [], []
         for i in range(self.batch_size):
             case_id = self.dataset.case_ids[
-                self.rng.integers(len(self.dataset.case_ids))
+                rng.integers(len(self.dataset.case_ids))
             ]
             case = self._get(case_id)
             force_fg = i >= self.batch_size - n_fg
@@ -103,7 +115,7 @@ class PatchSampler:
             slice_from_3d = len(patch) == case.seg.ndim - 1
             if slice_from_3d:
                 patch = (1, *patch)
-            center = self._sample_center_for(case, force_fg, patch)
+            center = self._sample_center_for(case, force_fg, patch, rng)
             d, s = extract_patch(case.data, case.seg, center, patch)
             if case.seg_prev is not None:
                 _, p = extract_patch(
