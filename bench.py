@@ -73,7 +73,7 @@ def main():
     _log("spec+model built")
 
     x = jnp.zeros((BATCH, *spec.patch_size, spec.in_channels), jnp.bfloat16)
-    variables = fast_init(model, jax.random.PRNGKey(0), x, train=False)
+    variables = fast_init(model, 0, x, train=False)
     _log("fast_init (eval_shape + host materialize + rel-pos tables)")
 
     variables = jax.device_put(variables)

@@ -37,13 +37,19 @@ def create_train_state(
 ) -> TrainState:
     from nextou_tpu.utils.init import fast_init
 
-    init_rng, state_rng = jax.random.split(rng)
-    variables = fast_init(
-        model,
-        {"params": init_rng, "dropout": init_rng, "graph": init_rng},
-        example_input,
-        train=False,
-    )
+    if isinstance(rng, int):
+        # host-only cold start: no device key creation / D2H fetch during
+        # init (the tunneled TPU's first fetch can stall minutes)
+        variables = fast_init(model, rng, example_input, train=False)
+        state_rng = jax.random.PRNGKey(rng + 1)
+    else:
+        init_rng, state_rng = jax.random.split(rng)
+        variables = fast_init(
+            model,
+            {"params": init_rng, "dropout": init_rng, "graph": init_rng},
+            example_input,
+            train=False,
+        )
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -284,8 +284,11 @@ class NexToUTrainer:
             (1, *self.model_spec.patch_size, self.model_spec.in_channels),
             jnp.float32,
         )
+        # int seed -> fully host-side init (utils/init.py): identical params
+        # to the PRNGKey path but zero device touches before the first step
+        # (the tunneled TPU's first D2H fetch can stall minutes).
         self.state = create_train_state(
-            self.network, self.optimizer, example, jax.random.PRNGKey(self.seed)
+            self.network, self.optimizer, example, self.seed
         )
         # data-parallel mesh over all devices whose count divides the batch
         # (the reference's DDP, SURVEY.md §2.4): params replicated, batch

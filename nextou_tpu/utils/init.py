@@ -85,6 +85,15 @@ def _materialize_leaf(path, leaf, rng: np.random.Generator):
 def fast_init(
     model: nn.Module, rngs, *args, seed: int | None = None, **kwargs
 ) -> dict[str, Any]:
+    if isinstance(rngs, int):
+        # Fully host-side path: the seed is the int, and the rng leaves fed to
+        # eval_shape are numpy placeholders with PRNGKey's shape/dtype — no
+        # device key is ever created or fetched. This matters on the tunneled
+        # TPU, where the process's *first* device->host fetch has been
+        # observed to stall 10-300 s (transport warm-up); with an int seed,
+        # init touches the device zero times.
+        seed = rngs if seed is None else seed
+        rngs = {"params": np.zeros((2,), np.uint32)}
     if not isinstance(rngs, dict):
         rngs = {"params": rngs}
     rngs.setdefault("dropout", rngs["params"])

@@ -98,3 +98,18 @@ def test_ds_params_match_non_ds():
         jax.tree_util.tree_leaves(v_no["params"]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int_seed_init_matches_prngkey():
+    # fast_init(model, 0, ...) is the host-only cold-start path (no device
+    # key creation): must be tree- and value-identical to PRNGKey(0) init.
+    spec = tiny_2d_spec(deep_supervision=False)
+    model = NexToU(spec=spec)
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    v_int = fast_init(model, 0, x, train=False)
+    v_key = fast_init(model, jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v_int) == jax.tree_util.tree_structure(v_key)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(v_int), jax.tree_util.tree_leaves(v_key)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -87,7 +87,7 @@ def bench_sliding(n_dev: int, iters: int = 3) -> float:
     spec = small_3d_spec(num_classes=3, deep_supervision=False)
     model = NexToU(spec=spec, dtype=jnp.float32)
     x0 = jnp.zeros((1, *spec.patch_size, spec.in_channels), jnp.float32)
-    v = fast_init(model, jax.random.PRNGKey(0), x0, train=False)
+    v = fast_init(model, 0, x0, train=False)
     pred = make_device_sliding_predictor(
         lambda t: model.apply(v, t, train=False),
         None,

@@ -85,7 +85,7 @@ def main(flagship: bool = False, iters: int | None = None):
     # --- ours (jit, CPU)
     model = NexToU(spec=spec, dtype=jnp.float32)
     xl = jnp.asarray(np.moveaxis(x, 1, -1))
-    v = fast_init(model, jax.random.PRNGKey(0), xl, train=False)
+    v = fast_init(model, 0, xl, train=False)
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     t0 = time.perf_counter()
     fwd(v, xl)[0].block_until_ready()  # compile

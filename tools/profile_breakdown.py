@@ -19,7 +19,7 @@ def main(which='all'):
 
     def run(name, spec_):
         model = NexToU(spec=spec_, dtype=jnp.bfloat16)
-        v = fast_init(model, jax.random.PRNGKey(0), x, train=False)
+        v = fast_init(model, 0, x, train=False)
         v = jax.device_put(v)
         dt = device_loop_time(lambda x: model.apply(v, x, train=False), x,
                               n_small=1, n_large=5, repeats=1)

@@ -40,7 +40,7 @@ def main():
     # full model
     model = NexToU(spec=spec, dtype=dt)
     x = jnp.zeros((B, *spec.patch_size, 1), dt)
-    v = jax.device_put(fast_init(model, jax.random.PRNGKey(0), x, train=False))
+    v = jax.device_put(fast_init(model, 0, x, train=False))
     f = jax.jit(lambda v, x: model.apply(v, x, train=False))
     t = timeit(f, v, x)
     print(f"NexToU fwd: {t*1e3:.1f} ms/step ({B/t:.2f} patches/s)", flush=True)
@@ -55,7 +55,7 @@ def main():
         num_classes=14, deep_supervision=False,
     )
     pm = NexToU(spec=pspec, dtype=dt)
-    pv = jax.device_put(fast_init(pm, jax.random.PRNGKey(0), x, train=False))
+    pv = jax.device_put(fast_init(pm, 0, x, train=False))
     pf = jax.jit(lambda v, x: pm.apply(v, x, train=False))
     t = timeit(pf, pv, x)
     print(f"PlainConvUNet fwd (same dims): {t*1e3:.1f} ms/step", flush=True)
@@ -75,7 +75,7 @@ def main():
             norm="instance", norm_op="batch", stochastic=True, epsilon=0.2,
             groups=6, dtype=dt,
         )
-        pv2 = jax.device_put(fast_init(pg, jax.random.PRNGKey(0), xg, train=False))
+        pv2 = jax.device_put(fast_init(pg, 0, xg, train=False))
         t = timeit(jax.jit(lambda v, x: pg.apply(v, x, train=False)), pv2, xg)
         print(f"stage{si} PoolGrapher {shape}: {t*1e3:.1f} ms", flush=True)
 
@@ -84,7 +84,7 @@ def main():
             k=swin_b.k, dilation=swin_b.dilation, norm_op="batch",
             stochastic=True, epsilon=0.2, groups=6, dtype=dt,
         )
-        sv = jax.device_put(fast_init(sg, jax.random.PRNGKey(0), xg, train=False))
+        sv = jax.device_put(fast_init(sg, 0, xg, train=False))
         t = timeit(jax.jit(lambda v, x: sg.apply(v, x, train=False)), sv, xg)
         print(f"stage{si} SwinGrapher {shape}: {t*1e3:.1f} ms", flush=True)
 
