@@ -52,7 +52,7 @@ def _kernel(x_ref, yn_ref, yv_ref, rel_ref, out_ref, *, k: int, m_valid: int):
     """
     x = x_ref[...]
     yn = yn_ref[...]
-    yv = yv_ref[...]
+    yv = yv_ref[...]  # value dtype (bf16 on the prod path — see caller)
     bb, tile_n, _ = x.shape
     m = yn.shape[1]
 
@@ -71,22 +71,37 @@ def _kernel(x_ref, yn_ref, yv_ref, rel_ref, out_ref, *, k: int, m_valid: int):
     big = jnp.float32(jnp.inf)
     maxy = jnp.full((bb, tile_n, x.shape[-1]), -big, jnp.float32)
 
-    def body(j, carry):
-        dist, maxy = carry
+    def search(dist):
+        # VPU: extract the current winner (first-occurrence argmin) and
+        # knock it out of the distance tile
         mins = jnp.min(dist, axis=-1, keepdims=True)  # (BB, TILE_N, 1)
-        # first-occurrence argmin via index-min over matching columns
         amin = jnp.min(
             jnp.where(dist == mins, col, m), axis=-1, keepdims=True
         )  # (BB, TILE_N, 1)
-        onehot = (col == amin).astype(jnp.float32)
-        # winner rows via MXU: (BB, TILE_N, M) @ (BB, M, C)
+        return amin, jnp.where(col == amin, big, dist)
+
+    def gather(maxy, amin):
+        # MXU: winner rows via one-hot matmul (BB, TILE_N, M) @ (BB, M, C).
+        # The one-hot is exact in the value dtype and f32 accumulation of a
+        # single selected value is exact — so in bf16 (the prod value dtype)
+        # this is bit-identical to the f32 form at bf16 MXU rates. These k
+        # selection matmuls are ~k/(k+1) of the kernel's MXU work.
+        onehot = (col == amin).astype(yv.dtype)
         sel = jax.lax.dot_general(
             onehot, yv, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        maxy = jnp.maximum(maxy, sel)
-        dist = jnp.where(col == amin, big, dist)
-        return dist, maxy
+        return jnp.maximum(maxy, sel)
+
+    # Serial search -> gather per round. A software-pipelined variant
+    # (gather round j-1's winner while searching round j's) was measured
+    # 2x *slower* at the Swin-window shapes (7.4-8.1 ms vs 4.1 ms for
+    # enc2-swin): the extra live buffers in the loop carry cost more in
+    # VMEM pressure/spills than the VPU/MXU overlap buys.
+    def body(j, carry):
+        dist, maxy = carry
+        amin, dist = search(dist)
+        return dist, gather(maxy, amin)
 
     _, maxy = jax.lax.fori_loop(0, k, body, (dist, maxy))
     out_ref[...] = maxy
@@ -154,8 +169,12 @@ def knn_max_neighbors_reference(
 def _knn_max_fused(k: int, tile_n: int, block_b: int, interpret: bool, x, y, rel):
     xn = _l2_normalize(x.astype(jnp.float32), axis=-1)
     yn = _l2_normalize(y.astype(jnp.float32), axis=-1)
+    # keep the *values* in bf16 when that's the model dtype: the selection
+    # matmul gathers them exactly (see _kernel), at bf16 MXU rates and half
+    # the VMEM; any other dtype goes through f32 as before.
+    yv = y if y.dtype == jnp.bfloat16 else y.astype(jnp.float32)
     out = _knn_max_pallas(
-        xn, yn, y.astype(jnp.float32), rel, k=k, tile_n=tile_n,
+        xn, yn, yv, rel, k=k, tile_n=tile_n,
         block_b=block_b, interpret=interpret,
     )
     return out.astype(x.dtype)
@@ -214,15 +233,19 @@ def knn_max_neighbors(
     # plus dist/iota/onehot scratch (~4x tile*M).
     tile = min(tile_n, _round_up(N, 8))
 
+    val_bytes = 2 if x.dtype == jnp.bfloat16 else 4
+
     def est_vmem(bb: int) -> int:
         # double-buffered operand/output blocks + rel + dist/iota/onehot/
         # argmin scratch (~4x the distance tile); calibrated against the
-        # v5e compiler's scoped-vmem accounting
+        # v5e compiler's scoped-vmem accounting for the serial kernel body.
+        # yn is f32, yv is the value dtype (bf16 on the prod path).
         return (
-            2 * bb * (2 * M * C + 2 * tile * C)
-            + 2 * tile * M
-            + 4 * bb * tile * M
-        ) * 4
+            2 * bb * M * C * (4 + val_bytes)
+            + 2 * bb * 2 * tile * C * 4
+            + 2 * tile * M * 4
+            + 4 * bb * tile * M * 4
+        )
 
     # Small graphs (Swin windows: N = M = prod(window)) underfill the MXU
     # one-at-a-time; batch several per grid step within the VMEM budget.

@@ -82,3 +82,19 @@ def test_kernel_equals_mrconv_semantics():
     want = jnp.max(xj - x[:, :, None, :], axis=2)
     got = knn_max_neighbors(x, k) - x
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_kernel_bf16_values_exact():
+    # bf16 inputs route the *values* through the selection matmul in bf16
+    # (kernels/knn.py::_kernel): gathering exactly-representable values with
+    # a one-hot matmul + f32 accumulate must be BIT-identical to the XLA
+    # reference path on the same bf16 values.
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 48, 16)), jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((2, 32, 16)), jnp.bfloat16)
+    got = knn_max_neighbors(x, 5, y=y)
+    want = knn_max_neighbors_reference(x, 5, y=y)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
