@@ -24,7 +24,7 @@ import flax.linen as nn
 from nextou_tpu.models.spec import ModelSpec, StageSpec, DecoderStageSpec, GNNBlockSpec
 from nextou_tpu.nn.conv_blocks import StackedConvBlocks
 from nextou_tpu.nn.graphers import FFN, PoolGrapher, SwinGrapher
-from nextou_tpu.nn.layers import conv_he_normal
+from nextou_tpu.nn.layers import conv_he_normal, ShuffleConvTranspose
 
 
 class _GNNBlocks(nn.Module):
@@ -121,15 +121,12 @@ class DecoderStage(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array, train: bool) -> jax.Array:
         st = self.stage
-        x = nn.ConvTranspose(
+        x = ShuffleConvTranspose(
             features=st.features,
             kernel_size=st.transp_stride,
             strides=st.transp_stride,
-            padding="VALID",
             use_bias=self.spec.use_bias,
-            kernel_init=conv_he_normal,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="transpconv",
         )(x)
         x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)

@@ -150,6 +150,78 @@ class FoldedConv(nn.Module):
         return y
 
 
+class ShuffleConvTranspose(nn.Module):
+    """ConvTranspose with kernel == stride, computed as one matmul + pixel
+    shuffle.
+
+    Every nnU-Net/NexToU decoder upsample has kernel == stride (the shape
+    program guarantees it), so each output voxel receives exactly one weight
+    tap: ``out[b, d*kd+i, h*kh+j, w*kw+l, co] = sum_ci x[b,d,h,w,ci] *
+    W[i,j,l,ci,co] (+ bias)``. XLA's native conv_transpose lowering leaves
+    3.4x on the table at the flagship's high-res stage (measured 3.53 ->
+    1.03 ms for 66->33 at (64,112,96), `tools/exp_transpconv.py`); a single
+    ``Cin -> prod(k)*Cout`` matmul followed by a reshape/transpose is faster
+    and numerically identical up to fp summation order (same contraction,
+    one weight tap per output voxel).
+
+    Parameter names and shapes ('kernel' (*k, Cin, Cout), 'bias' (Cout,))
+    are identical to ``nn.ConvTranspose(padding='VALID')``; checkpoints and
+    the torch importer are interchangeable. Falls back to
+    ``lax.conv_transpose`` if kernel != stride.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import math
+
+        k = tuple(self.kernel_size)
+        s = tuple(self.strides)
+        kernel = self.param(
+            "kernel", conv_he_normal, (*k, x.shape[-1], self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+        nd = len(k)
+        B, sp, cin = x.shape[0], x.shape[1:-1], x.shape[-1]
+
+        if k != s:
+            letters = "DHW"[-nd:]
+            dn = (f"N{letters}C", f"{letters}IO", f"N{letters}C")
+            y = jax.lax.conv_transpose(
+                x, kernel, strides=s, padding="VALID", dimension_numbers=dn
+            )
+        else:
+            # lax.conv_transpose (transpose_kernel=False) applies the kernel
+            # spatially *flipped* relative to the pixel-shuffle indexing;
+            # flip here so the module is bit-identical to nn.ConvTranspose
+            # (verified against random weights in tests/test_layers.py).
+            w = kernel[(slice(None, None, -1),) * nd]
+            w2 = jnp.moveaxis(w, nd, 0).reshape(cin, math.prod(k) * self.features)
+            y = x @ w2  # (B, *sp, P*Cout)
+            y = y.reshape(B, *sp, *k, self.features)
+            perm = [0]
+            for i in range(nd):
+                perm += [1 + i, 1 + nd + i]
+            perm.append(1 + 2 * nd)
+            y = jnp.transpose(y, perm)
+            y = y.reshape(B, *[d * kk for d, kk in zip(sp, k)], self.features)
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+
 def _dec2d_conv(x, kernel, pad):
     """(N, D, H, W, C) x (kd, kh, kw, C, Co), stride 1: sum over kd of
     D-shifted, depth-batched 2D convolutions."""

@@ -14,7 +14,29 @@ _DEFAULT = os.environ.get(
 )
 
 
+def pin_platform_from_env() -> None:
+    """Re-assert ``JAX_PLATFORMS`` through jax.config.
+
+    The tunneled ``axon`` TPU plugin registers itself regardless of the
+    env var, so ``JAX_PLATFORMS=cpu python -m nextou_tpu.run_training ...``
+    would still initialize (and, if the tunnel is down, hang on) the TPU
+    backend. Setting the config key before first backend use restores the
+    documented env-var semantics. No-op when the var is unset or the
+    backend is already initialized.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 def enable_compilation_cache(path: str | None = None) -> str | None:
+    pin_platform_from_env()
     try:
         import jax
 

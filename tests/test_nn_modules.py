@@ -196,3 +196,35 @@ def test_mlp_fast_init_and_prelu():
     assert float(v["params"]["act_0"]["PReLU_0"]["alpha"][0]) == pytest.approx(1e-2)
     y = mod.apply(v, x, train=False)
     assert y.shape == (2, 6)
+
+
+def test_shuffle_conv_transpose_matches_flax():
+    """ShuffleConvTranspose (matmul + pixel shuffle) must match
+    nn.ConvTranspose(padding='VALID') to fp summation-order rounding —
+    same param names/shapes, so checkpoints and the torch importer are
+    interchangeable."""
+    import flax.linen as nn
+    from nextou_tpu.nn.layers import ShuffleConvTranspose
+
+    rng = np.random.default_rng(3)
+    for sp, cin, cout, k in [
+        ((4, 6, 8), 5, 7, (2, 2, 2)),
+        ((4, 6, 8), 5, 7, (1, 2, 2)),
+        ((6, 8), 4, 3, (2, 2)),
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, *sp, cin)), jnp.float32)
+        mod = ShuffleConvTranspose(features=cout, kernel_size=k, strides=k)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        kernel = jnp.asarray(rng.standard_normal(v["params"]["kernel"].shape),
+                             jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+        v = {"params": {"kernel": kernel, "bias": bias}}
+        ref = nn.ConvTranspose(
+            features=cout, kernel_size=k, strides=k, padding="VALID"
+        )
+        want = ref.apply(v, x)
+        got = mod.apply(v, x)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-6
+        )
