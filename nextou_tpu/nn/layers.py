@@ -122,7 +122,29 @@ class FoldedConv(nn.Module):
         letters = "DHW"[-nd:] if nd <= 3 else None
         assert letters is not None
         kk, ss, pp = k[n_fold:], s[n_fold:], pad[n_fold:]
-        if (
+        phase_ok = (
+            os.environ.get("NEXTOU_PHASE_CONV", "0") == "1"
+            and any(s_ > 1 for s_ in ss)
+            and all(
+                s_ == 1 or (s_ == 2 and k_ == 3 and p_ == (1, 1))
+                for k_, s_, p_ in zip(kk, ss, pp)
+            )
+            and all(
+                x.shape[1 + i] % 2 == 0
+                for i, s_ in enumerate(ss)
+                if s_ == 2
+            )
+        )
+        if phase_ok:
+            # polyphase decomposition: a stride-2 k=3 pad-1 axis splits into
+            # an even phase (center tap, stride-1) and an odd phase (outer
+            # taps, kernel 2, pad (1,0)) — a SUM of stride-1 convs with no
+            # zero-padded weights. XLA's stride-1 TPU conv runs 2.5-3x the
+            # strided lowering's TF/s (tools/exp_conv_phase.py); opt-in until
+            # the in-model effect is measured (cf. the dec2d experiment
+            # below, which won standalone but lost to fusion breakage).
+            y = _phase_conv(x, kernel, ss, pp)
+        elif (
             nd == 3
             and kk[0] > 1
             and ss == (1, 1, 1)
@@ -220,6 +242,44 @@ class ShuffleConvTranspose(nn.Module):
         if bias is not None:
             y = y + bias.astype(dt)
         return y
+
+
+def _phase_conv(x, kernel, strides, pads):
+    """Polyphase form of a strided conv: sum of per-phase stride-1 convs.
+
+    Exact (same taps, same FLOPs — 3 = 1 + 2 taps per strided axis) for
+    stride-2 / kernel-3 / pad-(1,1) axes on even-length inputs; stride-1
+    axes keep all taps. See :class:`FoldedConv` for when it is selected.
+    """
+    import itertools
+
+    nd = len(strides)
+    per_axis = []
+    for i, (s_, p_) in enumerate(zip(strides, pads)):
+        k_ = kernel.shape[i]
+        if s_ == 1:
+            per_axis.append([(None, list(range(k_)), tuple(p_))])
+        else:
+            per_axis.append([(0, [1], (0, 0)), (1, [0, 2], (1, 0))])
+    letters = "DHW"[-nd:]
+    dn = (f"N{letters}C", f"{letters}IO", f"N{letters}C")
+    out = None
+    for combo in itertools.product(*per_axis):
+        sl = tuple(
+            slice(ph, None, 2) if ph is not None else slice(None)
+            for ph, _, _ in combo
+        )
+        xp = x[(slice(None), *sl, slice(None))]
+        wp = kernel[np.ix_(*[taps for _, taps, _ in combo])]
+        y = jax.lax.conv_general_dilated(
+            xp,
+            wp,
+            window_strides=(1,) * nd,
+            padding=[p_ for _, _, p_ in combo],
+            dimension_numbers=dn,
+        )
+        out = y if out is None else out + y
+    return out
 
 
 def _dec2d_conv(x, kernel, pad):

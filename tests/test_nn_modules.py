@@ -228,3 +228,42 @@ def test_shuffle_conv_transpose_matches_flax():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-6
         )
+
+
+def test_phase_conv_matches_default(monkeypatch):
+    """FoldedConv under NEXTOU_PHASE_CONV=1 (polyphase strided form) must
+    match the default strided lowering; odd strided lengths must fall back
+    (the even/odd phase split assumes even extents)."""
+    from nextou_tpu.nn.layers import FoldedConv
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ((8, 12, 16), (3, 3, 3), (2, 2, 2)),
+        ((8, 12, 16), (1, 3, 3), (1, 2, 2)),   # leading axis folds away
+        ((8, 12, 16), (3, 3, 3), (1, 2, 2)),   # mixed stride, k=3 s=1 axis
+        ((7, 12, 16), (3, 3, 3), (2, 2, 2)),   # odd extent -> fallback
+        ((12, 16), (3, 3), (2, 2)),            # 2D
+    ]
+    for sp, k, s in cases:
+        x = jnp.asarray(rng.standard_normal((2, *sp, 5)), jnp.float32)
+        mod = FoldedConv(
+            features=6,
+            kernel_size=k,
+            strides=s,
+            padding=tuple(((kk - 1) // 2, (kk - 1) // 2) for kk in k),
+        )
+        v = mod.init(jax.random.PRNGKey(0), x)
+        v = {"params": {
+            "kernel": jnp.asarray(
+                rng.standard_normal(v["params"]["kernel"].shape), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal((6,)), jnp.float32),
+        }}
+        monkeypatch.delenv("NEXTOU_PHASE_CONV", raising=False)
+        want = mod.apply(v, x)
+        monkeypatch.setenv("NEXTOU_PHASE_CONV", "1")
+        got = mod.apply(v, x)
+        assert got.shape == want.shape, (sp, k, s, got.shape, want.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+            err_msg=f"{sp} {k} {s}",
+        )
