@@ -218,7 +218,7 @@ class ShuffleConvTranspose(nn.Module):
         nd = len(k)
         B, sp, cin = x.shape[0], x.shape[1:-1], x.shape[-1]
 
-        if k != s:
+        if k != s or os.environ.get("NEXTOU_SHUFFLE_TRANSPCONV", "1") == "0":
             letters = "DHW"[-nd:]
             dn = (f"N{letters}C", f"{letters}IO", f"N{letters}C")
             y = jax.lax.conv_transpose(

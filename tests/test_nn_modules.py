@@ -267,3 +267,26 @@ def test_phase_conv_matches_default(monkeypatch):
             np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
             err_msg=f"{sp} {k} {s}",
         )
+
+
+def test_shuffle_conv_transpose_env_fallback(monkeypatch):
+    """NEXTOU_SHUFFLE_TRANSPCONV=0 routes through lax.conv_transpose and
+    must produce the same values as the pixel-shuffle path."""
+    from nextou_tpu.nn.layers import ShuffleConvTranspose
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 8, 5)), jnp.float32)
+    mod = ShuffleConvTranspose(features=7, kernel_size=(1, 2, 2),
+                               strides=(1, 2, 2))
+    v = mod.init(jax.random.PRNGKey(0), x)
+    v = {"params": {
+        "kernel": jnp.asarray(
+            rng.standard_normal(v["params"]["kernel"].shape), jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal((7,)), jnp.float32),
+    }}
+    monkeypatch.delenv("NEXTOU_SHUFFLE_TRANSPCONV", raising=False)
+    want = mod.apply(v, x)
+    monkeypatch.setenv("NEXTOU_SHUFFLE_TRANSPCONV", "0")
+    got = mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-6)
