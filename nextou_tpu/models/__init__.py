@@ -7,3 +7,8 @@ from nextou_tpu.models.spec import (
     knn_schedule,
 )
 from nextou_tpu.models.nextou import NexToU
+from nextou_tpu.models.plain_unet import PlainConvUNet, build_plain_unet_spec
+from nextou_tpu.models.residual_unet import (
+    ResidualEncoderUNet,
+    build_residual_encoder_unet_spec,
+)

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from nextou_tpu.models.spec import ModelSpec, StageSpec, DecoderStageSpec, GNNBlockSpec
-from nextou_tpu.nn.conv_blocks import StackedConvBlocks
+from nextou_tpu.nn.conv_blocks import (
+    ConvNormAct,
+    StackedConvBlocks,
+    StackedResidualBlocks,
+)
 from nextou_tpu.nn.graphers import FFN, PoolGrapher, SwinGrapher
 from nextou_tpu.nn.layers import conv_he_normal, ShuffleConvTranspose
 
@@ -93,8 +97,9 @@ class EncoderStage(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         st = self.stage
-        x = StackedConvBlocks(
-            num_convs=st.n_conv,
+        blocks = StackedResidualBlocks if st.residual else StackedConvBlocks
+        x = blocks(
+            st.n_conv,
             features=st.features,
             kernel_size=st.kernel_size,
             first_stride=st.stride,
@@ -258,6 +263,17 @@ class NexToU(nn.Module):
         enc_flags, dec_flags = _remat_flags(s, self.remat)
         enc_r = nn.remat(EncoderStage, static_argnums=(2,))
         dec_r = nn.remat(DecoderStage, static_argnums=(3,))
+
+        if s.stem_features is not None:
+            # ResidualEncoder's stride-1 stem conv block before stage 0
+            x = ConvNormAct(
+                features=s.stem_features,
+                kernel_size=s.encoder[0].kernel_size,
+                strides=(1,) * s.spatial_dims,
+                norm=s.norm_op,
+                dtype=self.dtype,
+                name="stem",
+            )(x, train=train)
 
         skips = []
         for i, st in enumerate(s.encoder):

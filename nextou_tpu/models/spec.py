@@ -42,6 +42,9 @@ class StageSpec:
     n_conv: int
     img_shape: tuple[int, ...]
     gnn: tuple[GNNBlockSpec, ...] = ()
+    # BasicBlockD residual blocks instead of plain conv blocks (n_conv =
+    # n_blocks); used by ResidualEncoderUNet (models/residual_unet.py)
+    residual: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +73,9 @@ class ModelSpec:
     stochastic: bool = True
     epsilon: float = 0.2
     deep_supervision: bool = True
+    # stride-1 stem conv block to this width before encoder stage 0
+    # (ResidualEncoder's default stem); None = no stem
+    stem_features: int | None = None
 
 
 def _stage_shapes(

@@ -379,6 +379,7 @@ class InstanceNorm(nn.Module):
 
     epsilon: float = 1e-5
     dtype: Any = None
+    scale_init: Callable = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -389,29 +390,43 @@ class InstanceNorm(nn.Module):
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        scale = self.param("scale", self.scale_init, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         y = y * scale + bias
         return y.astype(self.dtype or orig_dtype)
 
 
-def make_norm(kind: str, *, train: bool, name: str | None = None, dtype=None):
+def make_norm(
+    kind: str,
+    *,
+    train: bool,
+    name: str | None = None,
+    dtype=None,
+    zero_init_scale: bool = False,
+):
     """Instantiate a norm module by kind ('batch' | 'instance').
 
     BatchNorm matches torch defaults (eps 1e-5, momentum 0.1 -> flax 0.9) and
-    uses running averages at eval time.
+    uses running averages at eval time. ``zero_init_scale`` starts the affine
+    scale at 0 (``init_last_bn_before_add_to_0`` of residual blocks); the
+    module MUST then be named 'norm2' — ``utils/init.py::fast_init``
+    replicates initialization by leaf path and keys the zero-scale rule on
+    that name.
     """
     kind = kind.lower()
+    assert not zero_init_scale or name == "norm2", (name, "see docstring")
+    scale_init = nn.initializers.zeros if zero_init_scale else nn.initializers.ones
     if kind == "batch":
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             dtype=jnp.float32,
+            scale_init=scale_init,
             name=name,
         )
     if kind == "instance":
-        return InstanceNorm(name=name, dtype=dtype)
+        return InstanceNorm(name=name, dtype=dtype, scale_init=scale_init)
     raise NotImplementedError(f"normalization layer [{kind}] is not found")
 
 

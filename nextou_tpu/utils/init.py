@@ -11,7 +11,8 @@ model, for work that happens once. ``fast_init`` instead:
    - ``kernel``: He-normal, std = sqrt(2/(1+1e-2^2)/fan_in) (the reference's
      ``InitWeights_He(1e-2)``, ``nnUNetTrainer_NexToU.py:88``), with fan-in
      derived from the kernel rank (dense / grouped / conv),
-   - ``bias`` -> 0, ``scale`` -> 1, BatchNorm ``mean``/``var`` -> 0/1,
+   - ``bias`` -> 0, ``scale`` -> 1 (0 under a ``norm2`` residual-block
+     norm), BatchNorm ``mean``/``var`` -> 0/1,
    - ``constants/relative_pos_c{C}_d{D}`` -> recomputed from the metadata in
      the name plus the leaf shape (see ``nn.graphers._rel_pos_constant``).
 
@@ -76,6 +77,12 @@ def _materialize_leaf(path, leaf, rng: np.random.Generator):
     if name == "alpha":  # PReLU slope, reference act_layer default neg_slope
         return np.full(shape, 1e-2, dtype)
     if name in ("scale",):
+        parent = str(path[-2].key if hasattr(path[-2], "key") else path[-2])
+        if parent == "norm2":
+            # residual blocks zero the last norm's scale before the add
+            # (init_last_bn_before_add_to_0, nnUNetTrainer_NexToU.py:89);
+            # make_norm asserts the name <-> zero-init pairing
+            return np.zeros(shape, dtype)
         return np.ones(shape, dtype)
     if name in ("bias",):
         return np.zeros(shape, dtype)

@@ -113,3 +113,101 @@ def test_int_seed_init_matches_prngkey():
         jax.tree_util.tree_leaves(v_int), jax.tree_util.tree_leaves(v_key)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestResidualEncoderUNet:
+    """ResidualEncoderUNet (models/residual_unet.py): the plans-selectable
+    substrate architecture from the reference trainer's mapping
+    (nnUNetTrainer_NexToU.py:34) — never instantiated by the reference
+    (':30' hardcodes NexToU), so coverage is structural, not torch-parity."""
+
+    def _spec(self, ds=True):
+        from nextou_tpu.models import build_residual_encoder_unet_spec
+
+        return build_residual_encoder_unet_spec(
+            in_channels=2,
+            patch_size=(16, 16),
+            n_stages=3,
+            features_per_stage=[8, 16, 32],
+            kernel_sizes=[[3, 3]] * 3,
+            strides=[[1, 1], [2, 2], [2, 2]],
+            n_blocks_per_stage=[1, 2, 2],
+            n_conv_per_stage_decoder=[2, 2],
+            num_classes=3,
+            deep_supervision=ds,
+        )
+
+    def test_forward_shapes_and_param_structure(self):
+        from nextou_tpu.models import ResidualEncoderUNet
+
+        spec = self._spec()
+        model = ResidualEncoderUNet(spec=spec)
+        x = jnp.zeros((2, 16, 16, 2), jnp.float32)
+        v = fast_init(model, 0, x, train=False)
+        outs = model.apply(v, x, train=False)
+        assert [o.shape for o in outs] == [(2, 16, 16, 3), (2, 8, 8, 3)]
+        p = v["params"]
+        assert "stem" in p, list(p)
+        # stage 1 has 2 residual blocks; block 0 strided 16->16ch => skip conv
+        b0 = p["enc_1"]["convs"]["block_0"]
+        assert {"conv1", "norm1", "conv2", "norm2", "skip_conv", "skip_norm"} <= set(b0)
+        # block 1 is unstrided, same channels => identity skip
+        assert "skip_conv" not in p["enc_1"]["convs"]["block_1"]
+
+    def test_zero_init_last_norm_makes_blocks_identity(self):
+        """With norm2.scale = 0 every residual block computes act(skip(x));
+        for an unstrided same-channel block that is act(x). fast_init must
+        apply the rule (it materializes by leaf path, not flax init)."""
+        from nextou_tpu.nn.conv_blocks import ResidualBlock
+
+        mod = ResidualBlock(features=6, kernel_size=(3, 3), strides=(1, 1))
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 8, 8, 6)), jnp.float32
+        )
+        v = fast_init(mod, 0, x, train=False)
+        assert float(np.abs(v["params"]["norm2"]["scale"]).max()) == 0.0
+        y = mod.apply(v, x, train=False)
+        want = jax.nn.leaky_relu(x, 1e-2)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-6)
+
+    def test_fast_init_matches_flax_init_structure(self):
+        from nextou_tpu.models import ResidualEncoderUNet
+
+        spec = self._spec(ds=False)
+        model = ResidualEncoderUNet(spec=spec)
+        x = jnp.zeros((1, 16, 16, 2), jnp.float32)
+        v_fast = fast_init(model, 0, x, train=False)
+        v_flax = model.init(jax.random.PRNGKey(0), x, train=False)
+        ts = jax.tree_util.tree_structure
+        assert ts(v_fast) == ts(v_flax)
+        # flax init must also zero norm2 scales (make_norm zero_init_scale)
+        flat = jax.tree_util.tree_flatten_with_path(v_flax)[0]
+        n2 = [l for p, l in flat if any(
+            getattr(k, "key", None) == "norm2" for k in p
+        ) and getattr(p[-1], "key", None) == "scale"]
+        assert n2 and all(float(np.abs(l).max()) == 0.0 for l in n2)
+
+    def test_gradients_flow(self):
+        from nextou_tpu.models import ResidualEncoderUNet
+
+        spec = self._spec(ds=False)
+        model = ResidualEncoderUNet(spec=spec)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((1, 16, 16, 2)),
+            jnp.float32,
+        )
+        v = fast_init(model, 0, x, train=False)
+
+        def loss(params):
+            out, _ = model.apply(
+                {**v, "params": params}, x, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            return jnp.mean(out**2)
+
+        g = jax.grad(loss)(v["params"])
+        gnorm = sum(
+            float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g)
+        )
+        assert np.isfinite(gnorm) and gnorm > 0

@@ -152,3 +152,30 @@ def test_ti_trainer_all_pairs(synth_folder, tmp_path):
     # labels {0,1,2} -> fg pairs: (1,2)
     assert spec.ti.interactions == ((False, (1,), (2,)),)
     assert spec.weight_ti == 1e-4  # 2D
+
+
+def test_vanilla_trainer_residual_encoder_unet(synth_folder, tmp_path):
+    """plans naming ResidualEncoderUNet -> the vanilla trainer builds the
+    residual-encoder spec (reference mapping nnUNetTrainer_NexToU.py:34
+    minus the forced-NexToU line) and one train step runs."""
+    import copy
+
+    plans = copy.deepcopy(TINY_PLANS)
+    cfg = plans["configurations"]["2d_tiny"]
+    cfg["UNet_class_name"] = "ResidualEncoderUNet"
+    cls = get_trainer_class("nnUNetTrainer")
+    tr = cls(
+        plans, "2d_tiny", fold=0,
+        dataset_json=DATASET_JSON, preprocessed_folder=synth_folder,
+        output_folder=str(tmp_path / "res_out"),
+        compute_dtype=jnp.float32, remat=False,
+        num_epochs=1, num_iterations_per_epoch=2,
+        num_val_iterations_per_epoch=1,
+    )
+    spec = tr.build_network_spec()
+    assert spec.stem_features == 8
+    assert all(st.residual for st in spec.encoder)
+    assert not any(getattr(st, "residual", False) for st in spec.decoder)
+    tr.run_training()
+    assert len(tr.log_history) == 1
+    assert np.isfinite(tr.log_history[-1]["train_loss"])
