@@ -76,9 +76,15 @@ def main():
     variables = fast_init(model, 0, x, train=False)
     _log("fast_init (eval_shape + host materialize + rel-pos tables)")
 
-    variables = jax.device_put(variables)
+    from nextou_tpu.utils.transfer import device_put_variables, transfer_bytes
+
+    naive_b, opt_b = transfer_bytes(variables)
+    variables = device_put_variables(variables, jnp.bfloat16)
     jax.block_until_ready(variables)
-    _log("device_put params")
+    _log(
+        f"device_put params ({opt_b/1e6:.0f} MB deduped+bf16-kernels, "
+        f"naive {naive_b/1e6:.0f} MB)"
+    )
 
     # ---- bare forward ---------------------------------------------------
     dt_fwd = device_loop_time(

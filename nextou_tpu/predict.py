@@ -32,11 +32,19 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None, output: str = "prob
 
     spec = dataclasses.replace(trainer.model_spec, deep_supervision=False)
     model = NexToU(spec=spec, dtype=trainer.compute_dtype, remat=False)
-    variables = jax.device_get(trainer.state.model_variables())
-    if mesh is not None:
-        from nextou_tpu.parallel import replicate
+    from nextou_tpu.utils.transfer import device_put_variables
 
-        variables = replicate(mesh, variables)
+    variables = jax.device_get(trainer.state.model_variables())
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec())
+    # dedup + bf16 kernel pre-cast: bit-identical on the compute path,
+    # ~halves the serving cold-start transfer (utils/transfer.py)
+    variables = device_put_variables(
+        variables, trainer.compute_dtype, device=sharding
+    )
 
     def apply_fn(x):
         return model.apply(variables, x, train=False)

@@ -211,3 +211,42 @@ class TestResidualEncoderUNet:
             float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g)
         )
         assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_device_put_variables_exact():
+    """utils/transfer.py: dedup + bf16 kernel pre-cast is bit-identical to
+    the naive transfer on the bf16 compute path (bf16(bf16(w)) == bf16(w);
+    kernels are cast to the compute dtype inside every consuming layer)."""
+    from nextou_tpu.utils.transfer import device_put_variables, transfer_bytes
+
+    spec = tiny_2d_spec(deep_supervision=False)
+    model = NexToU(spec=spec, dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 64, 64, 1)), jnp.bfloat16
+    )
+    v = fast_init(model, 0, x, train=False)
+
+    v_opt = device_put_variables(v, jnp.bfloat16)
+    # kernels shipped bf16, norm affines/biases/constants untouched
+    flat = jax.tree_util.tree_flatten_with_path(v_opt)[0]
+    kinds = {}
+    for p, l in flat:
+        name = str(getattr(p[-1], "key", p[-1]))
+        kinds.setdefault(name, set()).add(l.dtype.name)
+    assert kinds["kernel"] == {"bfloat16"}
+    assert "float32" in kinds["scale"]
+
+    y_ref = model.apply(jax.device_put(v), x, train=False)
+    y_opt = model.apply(v_opt, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y_ref[0]), np.asarray(y_opt[0]))
+
+    # dedup: identical rel-pos host buffers become one device buffer
+    consts = [
+        l for p, l in flat
+        if str(getattr(p[0], "key", p[0])) == "constants"
+    ]
+    ids = {l.unsafe_buffer_pointer() for l in consts}
+    assert len(ids) < len(consts), "expected shared rel-pos tables"
+
+    naive, opt = transfer_bytes(v)
+    assert opt < 0.7 * naive, (naive, opt)

@@ -39,7 +39,8 @@ def main():
     model = NexToU(spec=spec, dtype=jnp.bfloat16)
     x0 = jnp.zeros((args.tile_batch, *spec.patch_size, spec.in_channels), jnp.bfloat16)
     t0 = time.perf_counter()
-    v = jax.device_put(fast_init(model, 0, x0, train=False))
+    from nextou_tpu.utils.transfer import device_put_variables
+    v = device_put_variables(fast_init(model, 0, x0, train=False), jnp.bfloat16)
     jax.block_until_ready(v)
     print(f"init+put {time.perf_counter()-t0:.0f}s", flush=True)
 

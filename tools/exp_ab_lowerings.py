@@ -38,7 +38,8 @@ def main():
     x = jnp.zeros((B, *spec.patch_size, spec.in_channels), jnp.bfloat16)
 
     model = NexToU(spec=spec, dtype=jnp.bfloat16)
-    v = jax.device_put(fast_init(model, 0, x, train=False))
+    from nextou_tpu.utils.transfer import device_put_variables
+    v = device_put_variables(fast_init(model, 0, x, train=False), jnp.bfloat16)
     jax.block_until_ready(v)
     print("init done", flush=True)
 

@@ -19,8 +19,9 @@ def main(which='all'):
 
     def run(name, spec_):
         model = NexToU(spec=spec_, dtype=jnp.bfloat16)
+        from nextou_tpu.utils.transfer import device_put_variables
         v = fast_init(model, 0, x, train=False)
-        v = jax.device_put(v)
+        v = device_put_variables(v, jnp.bfloat16)
         dt = device_loop_time(lambda x: model.apply(v, x, train=False), x,
                               n_small=1, n_large=5, repeats=1)
         print(f"{name}: {dt*1e3:.1f} ms/step ({B} patches)", flush=True)
