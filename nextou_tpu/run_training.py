@@ -43,6 +43,19 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument(
+        "--npz", action="store_true",
+        help="save each validation case's softmax as validation/{case}.npz "
+             "during the final validation (find_best_configuration's "
+             "ensembling input, like nnUNetv2_train --npz)",
+    )
+    ap.add_argument(
+        "-pretrained_weights", "--pretrained-weights", default=None,
+        metavar="CKPT",
+        help="seed the network with weights from another run's checkpoint "
+             "before training (optimizer/RNG stay fresh; incompatible "
+             "tensors keep their initialization)",
+    )
+    ap.add_argument(
         "--device-da", choices=["auto", "on", "off"], default="auto",
         help="run data augmentation on the accelerator inside the compiled "
              "train step (auto: on for TPU, off for CPU/cascade)",
@@ -75,6 +88,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         device_da={"auto": "auto", "on": True, "off": False}[args.device_da],
     )
+    if args.pretrained_weights:
+        trainer.load_pretrained_weights(args.pretrained_weights)
     latest = os.path.join(output, "checkpoint_latest.ckpt")
     if args.resume:
         if os.path.exists(latest):
@@ -91,10 +106,10 @@ def main(argv=None):
     if args.val:
         final = os.path.join(output, "checkpoint_final.ckpt")
         trainer.load_checkpoint(final)
-        trainer.perform_actual_validation()
+        trainer.perform_actual_validation(save_probabilities=args.npz)
         return
     trainer.run_training()
-    trainer.perform_actual_validation()
+    trainer.perform_actual_validation(save_probabilities=args.npz)
 
 
 if __name__ == "__main__":

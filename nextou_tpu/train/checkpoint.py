@@ -37,3 +37,63 @@ def load_checkpoint(path: str, template: TrainState) -> tuple[TrainState, dict]:
         payload = pickle.load(f)
     state = serialization.from_bytes(template, payload["state_bytes"])
     return state, payload.get("extra", {})
+
+
+def restore_pretrained(state: TrainState, path: str) -> tuple[TrainState, dict]:
+    """``nnUNetv2_train -pretrained_weights`` semantics: seed a *fresh*
+    training with the network weights of another finished run — params and
+    batch stats are copied where the tree path exists in both runs with the
+    same shape; optimizer state, RNG, step, and constants stay untouched
+    (constants are deterministic tables regenerated from the spec).
+
+    Mismatched leaves (e.g. seg heads for a different label count, extra
+    input channels) keep their fresh initialization, like the substrate's
+    ``load_pretrained_weights`` which only transfers compatible tensors.
+
+    Returns (new_state, report) with report = {'loaded': [...],
+    'skipped_shape': [...], 'missing': [...]}.
+    """
+    import pickle as _pickle
+
+    from flax import serialization as _ser
+    import jax.tree_util as jtu
+
+    with open(path, "rb") as f:
+        payload = _pickle.load(f)
+    raw = _ser.msgpack_restore(payload["state_bytes"])
+
+    def _flatten(prefix, tree, out):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                _flatten(prefix + (str(k),), v, out)
+        else:
+            out[prefix] = tree
+        return out
+
+    report = {"loaded": [], "skipped_shape": [], "missing": []}
+    new = {}
+    for field in ("params", "batch_stats"):
+        have = getattr(state, field)
+        if not have:
+            new[field] = have
+            continue
+        src = _flatten((), raw.get(field, {}), {})
+        flat, treedef = jtu.tree_flatten_with_path(have)
+        out = []
+        for p, leaf in flat:
+            key = tuple(str(getattr(k, "key", k)) for k in p)
+            name = field + "/" + "/".join(key)
+            s = src.get(key)
+            if s is None:
+                report["missing"].append(name)
+                out.append(leaf)
+            elif tuple(np.shape(s)) != tuple(np.shape(leaf)):
+                report["skipped_shape"].append(name)
+                out.append(leaf)
+            else:
+                report["loaded"].append(name)
+                out.append(np.asarray(s).astype(np.asarray(leaf).dtype))
+        new[field] = jtu.tree_unflatten(treedef, out)
+    import dataclasses as _dc
+
+    return _dc.replace(state, **new), report

@@ -538,15 +538,39 @@ class NexToUTrainer:
     # final validation (nnU-Net's perform_actual_validation + summary.json)
     # ------------------------------------------------------------------ #
 
-    def perform_actual_validation(self, tile_batch: int = 2) -> dict:
+    def load_pretrained_weights(self, path: str) -> None:
+        """Seed this (fresh) training with another run's network weights —
+        ``nnUNetv2_train -pretrained_weights`` (optimizer/RNG stay fresh;
+        incompatible leaves keep their init). See
+        ``train/checkpoint.py::restore_pretrained``."""
+        from nextou_tpu.train.checkpoint import restore_pretrained
+
+        self.initialize()
+        self.state, report = restore_pretrained(self.state, path)
+        self.print_to_log_file(
+            f"pretrained weights from {path}: {len(report['loaded'])} "
+            f"tensors loaded, {len(report['skipped_shape'])} shape-skipped, "
+            f"{len(report['missing'])} missing"
+        )
+        for name in report["skipped_shape"]:
+            self.print_to_log_file(f"  shape mismatch, kept fresh: {name}")
+
+    def perform_actual_validation(
+        self, tile_batch: int = 2, save_probabilities: bool = False
+    ) -> dict:
         """Sliding-window prediction of every validation case, per-class Dice,
         written to ``<output>/validation/summary.json`` (the substrate's
-        output format, SURVEY.md §5)."""
+        output format, SURVEY.md §5). With ``save_probabilities`` (the
+        ``--npz`` train flag) each case's softmax is stored as
+        ``validation/{case}.npz`` ('probabilities', float16, (*sp, C)) — the
+        input ``find_best_configuration`` ensembling consumes."""
         from nextou_tpu.infer.evaluate import evaluate_cases
         from nextou_tpu.predict import build_predictor
 
         self.initialize()
         _, val_ds = self.get_split()
+        val_dir = os.path.join(self.output_folder, "validation")
+        os.makedirs(val_dir, exist_ok=True)
         predictor = build_predictor(self, tile_batch=tile_batch)
         fg = self.label_manager.foreground_labels
         cases = []
@@ -557,6 +581,11 @@ class NexToUTrainer:
                 hot = np.stack([case.seg_prev == l for l in fg], axis=-1)
                 data = np.concatenate([data, hot.astype(np.float32)], axis=-1)
             probs = predictor(data)
+            if save_probabilities:
+                np.savez_compressed(
+                    os.path.join(val_dir, f"{cid}.npz"),
+                    probabilities=np.asarray(probs, np.float16),
+                )
             seg = self.label_manager.convert_probabilities_to_segmentation(
                 probs
             )

@@ -179,3 +179,93 @@ def test_vanilla_trainer_residual_encoder_unet(synth_folder, tmp_path):
     tr.run_training()
     assert len(tr.log_history) == 1
     assert np.isfinite(tr.log_history[-1]["train_loss"])
+
+
+def test_npz_validation_probs_and_find_best_ensembling(synth_folder, tmp_path):
+    """--npz saves validation softmaxes; find_best(-ds) ranks the 2-way
+    ensemble of two runs against the preprocessed GT (the substrate's
+    find_best_configuration ensembling step)."""
+    from nextou_tpu.find_best_configuration import find_best
+
+    outs = {}
+    for name, seed_epochs in (("runA", 1), ("runB", 1)):
+        out = str(tmp_path / name)
+        tr = _make_trainer(
+            "nnUNetTrainer_NexToU", synth_folder, out,
+            num_epochs=seed_epochs, num_iterations_per_epoch=2,
+            num_val_iterations_per_epoch=1,
+        )
+        tr.run_training()
+        tr.perform_actual_validation(save_probabilities=True)
+        outs[name] = out
+
+    # every validation case got a float16 (*sp, C) npz next to summary.json
+    val = os.path.join(outs["runA"], "validation")
+    npzs = [f for f in os.listdir(val) if f.endswith(".npz")]
+    assert npzs
+    z = np.load(os.path.join(val, npzs[0]))["probabilities"]
+    assert z.dtype == np.float16 and z.shape == (64, 64, 3)
+    np.testing.assert_allclose(z.astype(np.float32).sum(-1), 1.0, atol=1e-2)
+
+    info = find_best(
+        {n: f for n, f in outs.items()}, dataset_folder=synth_folder
+    )
+    names = [r["name"] for r in info["ranking"]]
+    assert "ensemble runA + runB" in names
+    ens = next(r for r in info["ranking"] if r["name"].startswith("ensemble"))
+    assert np.isfinite(ens["fg_mean_dice"])
+    if info["best_configuration"].startswith("ensemble"):
+        assert "nextou_tpu.ensemble" in info["inference_instructions"]
+
+
+def test_pretrained_weights_restore(synth_folder, tmp_path):
+    """-pretrained_weights: params copy from the donor checkpoint where
+    shapes match; optimizer state stays fresh; a different label count
+    keeps its fresh seg heads (shape-skipped, like the substrate's
+    load_pretrained_weights)."""
+    from nextou_tpu.train.checkpoint import restore_pretrained
+
+    donor_out = str(tmp_path / "donor")
+    donor = _make_trainer(
+        "nnUNetTrainer_NexToU", synth_folder, donor_out,
+        num_epochs=1, num_iterations_per_epoch=2,
+        num_val_iterations_per_epoch=1,
+    )
+    donor.run_training()
+    ckpt = os.path.join(donor_out, "checkpoint_final.ckpt")
+    assert os.path.exists(ckpt)
+
+    fresh = _make_trainer(
+        "nnUNetTrainer_NexToU", synth_folder, str(tmp_path / "fresh"),
+        seed=123,
+    )
+    fresh.initialize()
+    opt_before = jax.tree_util.tree_leaves(fresh.state.opt_state)
+    new_state, report = restore_pretrained(fresh.state, ckpt)
+    assert report["loaded"] and not report["skipped_shape"]
+    donor_leaves = jax.tree_util.tree_leaves(
+        jax.device_get(donor.state.params)
+    )
+    for a, b in zip(donor_leaves, jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(opt_before, jax.tree_util.tree_leaves(new_state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # donor with a different label count: seg heads are shape-skipped
+    import copy
+
+    dj4 = copy.deepcopy(DATASET_JSON)
+    dj4["labels"]["c"] = 3
+    other = get_trainer_class("nnUNetTrainer_NexToU")(
+        TINY_PLANS, "2d_tiny", fold=0, dataset_json=dj4,
+        preprocessed_folder=synth_folder,
+        output_folder=str(tmp_path / "other"),
+        compute_dtype=jnp.float32, remat=False,
+        num_epochs=1, num_iterations_per_epoch=2,
+        num_val_iterations_per_epoch=1,
+    )
+    other.initialize()
+    _, report4 = restore_pretrained(other.state, ckpt)
+    assert report4["loaded"]
+    assert all("seg_head" in n or "head" in n for n in report4["skipped_shape"])
+    assert report4["skipped_shape"], "expected mismatched seg heads"
