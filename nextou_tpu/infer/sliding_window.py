@@ -125,6 +125,7 @@ def make_device_sliding_predictor(
     mesh: "jax.sharding.Mesh | None" = None,
     output: str = "probs",
     transfer_dtype=None,
+    step_fraction: float = 0.5,
 ):
     """Fully device-resident sliding window: the volume is transferred to
     HBM once; tile extraction (dynamic_slice), TTA forward, softmax,
@@ -286,7 +287,7 @@ def make_device_sliding_predictor(
         if isinstance(data, np.ndarray) and data.dtype != tdt:
             data = data.astype(tdt)  # halve the host->device transfer
         psp = data.shape[:-1]
-        steps = compute_sliding_window_steps(psp, patch, 0.5)
+        steps = compute_sliding_window_steps(psp, patch, step_fraction)
         coords = np.asarray(list(itertools.product(*steps)), np.int32)
         chunks, valids = _chunks(coords)
 

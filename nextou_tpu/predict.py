@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 
 
-def build_predictor(trainer, tile_batch: int = 2, mesh=None, output: str = "probs"):
+def build_predictor(
+    trainer, tile_batch: int = 2, mesh=None, output: str = "probs",
+    step_size: float = 0.5, disable_tta: bool = False,
+):
     """From an initialized trainer (checkpoint loaded), build a function
     ``(data (*sp, C) float32) -> probs (*sp, num_classes)`` — or, with
     ``output='seg'`` (label mode), ``-> (*sp) int16`` argmaxed on device so
@@ -54,8 +57,11 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None, output: str = "prob
     )
     if activation != "softmax":
         output = "probs"  # region mode needs the per-region channels
+    mirror_axes = (
+        None if disable_tta else trainer.inference_allowed_mirroring_axes
+    )
     tile_pred = make_tile_predictor(
-        apply_fn, trainer.inference_allowed_mirroring_axes, mesh=mesh,
+        apply_fn, mirror_axes, mesh=mesh,
         activation=activation,
     )
     patch = spec.patch_size
@@ -63,9 +69,9 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None, output: str = "prob
     from nextou_tpu.infer import make_device_sliding_predictor
 
     device_pred = make_device_sliding_predictor(
-        apply_fn, trainer.inference_allowed_mirroring_axes, patch, ncls,
+        apply_fn, mirror_axes, patch, ncls,
         tile_batch=tile_batch, activation=activation, mesh=mesh,
-        output=output,
+        output=output, step_fraction=step_size,
     )
 
     # device-resident accumulation when the probability volume fits HBM
@@ -78,7 +84,8 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None, output: str = "prob
         if device_pred is not None and acc_bytes <= ACC_BUDGET_BYTES:
             return np.asarray(device_pred(data))
         probs = sliding_window_predict(
-            tile_pred, data, patch, ncls, tile_batch=tile_batch, mesh=mesh
+            tile_pred, data, patch, ncls, tile_batch=tile_batch, mesh=mesh,
+            step_fraction=step_size,
         )
         if output == "seg":  # host fallback for HBM-exceeding volumes
             return np.argmax(probs, axis=-1).astype(np.int16)
@@ -88,7 +95,8 @@ def build_predictor(trainer, tile_batch: int = 2, mesh=None, output: str = "prob
 
 
 def build_fold_ensemble_predictor(
-    trainers, tile_batch: int = 2, mesh=None, output: str = "probs"
+    trainers, tile_batch: int = 2, mesh=None, output: str = "probs",
+    step_size: float = 0.5, disable_tta: bool = False,
 ):
     """Average the sliding-window probabilities of several folds' models —
     nnU-Net's default ``-f 0 1 2 3 4`` cross-validation ensemble
@@ -97,7 +105,10 @@ def build_fold_ensemble_predictor(
     if len(trainers) > 1:
         output = "probs"
     predictors = [
-        build_predictor(t, tile_batch=tile_batch, mesh=mesh, output=output)
+        build_predictor(
+            t, tile_batch=tile_batch, mesh=mesh, output=output,
+            step_size=step_size, disable_tta=disable_tta,
+        )
         for t in trainers
     ]
     if len(predictors) == 1:
@@ -174,6 +185,16 @@ def main(argv=None):
     ap.add_argument("--cases", nargs="*", default=None)
     ap.add_argument("--tile-batch", type=int, default=2)
     ap.add_argument(
+        "-step_size", "--step-size", type=float, default=0.5,
+        help="sliding-window step as a fraction of patch size "
+             "(nnUNetv2_predict -step_size; default 0.5)",
+    )
+    ap.add_argument(
+        "--disable-tta", "--disable_tta", action="store_true",
+        help="skip mirroring test-time augmentation (faster, slightly "
+             "less accurate — like nnUNetv2_predict --disable_tta)",
+    )
+    ap.add_argument(
         "--all-devices", action="store_true",
         help="shard the tile batch across every visible device",
     )
@@ -227,7 +248,8 @@ def main(argv=None):
 
             mesh = make_mesh()
         predictor = build_fold_ensemble_predictor(
-            trainers, tile_batch=args.tile_batch, mesh=mesh
+            trainers, tile_batch=args.tile_batch, mesh=mesh,
+            step_size=args.step_size, disable_tta=args.disable_tta,
         )
         predict_raw_folder(
             predictor,
@@ -274,6 +296,7 @@ def main(argv=None):
     predictor = build_fold_ensemble_predictor(
         trainers, tile_batch=args.tile_batch, mesh=mesh,
         output="seg" if want_seg else "probs",
+        step_size=args.step_size, disable_tta=args.disable_tta,
     )
     for cid in ds.case_ids:
         case = ds.load(cid)

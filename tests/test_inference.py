@@ -197,3 +197,15 @@ def test_device_sliding_window_seg_output():
     seg = np.asarray(seg)
     assert seg.dtype == np.uint8 and seg.shape == data.shape[:-1]
     np.testing.assert_array_equal(seg, np.argmax(np.asarray(probs), axis=-1))
+
+
+def test_step_size_and_disable_tta_cli_knobs(tmp_path):
+    """-step_size changes the tile grid (fewer tiles at 1.0); --disable-tta
+    drops the mirrored forwards. Both map to nnUNetv2_predict's flags."""
+    from nextou_tpu.infer.sliding_window import compute_sliding_window_steps
+
+    dense = compute_sliding_window_steps((64, 96), (32, 32), 0.5)
+    sparse = compute_sliding_window_steps((64, 96), (32, 32), 1.0)
+    assert len(dense[0]) > len(sparse[0]) or len(dense[1]) > len(sparse[1])
+    # ends stay aligned so full coverage is preserved
+    assert sparse[0][-1] == 64 - 32 and sparse[1][-1] == 96 - 32
