@@ -56,11 +56,26 @@ def main():
     cache_dir = enable_compilation_cache()
     _log(f"compilation cache at {cache_dir}")
 
+    # The tunneled TPU plugin HANGS (no error) when the tunnel is down;
+    # enumerate devices under a watchdog so a dead tunnel fails loudly in
+    # minutes instead of wedging the driver's bench run. Normal init is
+    # ~10 s; 600 s is far past any healthy cold start.
+    import threading
+
+    def _die():
+        _log("FATAL: TPU backend init exceeded 600s — tunnel down?")
+        os._exit(17)
+
+    watchdog = threading.Timer(600.0, _die)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     n_dev = len(jax.devices())
+    watchdog.cancel()
     _log(f"backend init: {n_dev} {jax.default_backend()} device(s)")
 
     from nextou_tpu.models import NexToU
