@@ -71,6 +71,11 @@ def main():
     watchdog.start()
 
     import jax
+
+    if os.environ.get("NEXTOU_BENCH_CPU", "0") == "1":
+        # force CPU before first backend touch (the env var alone does not
+        # stick past the axon plugin — CLAUDE.md); smoke-test use only
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -83,7 +88,17 @@ def main():
     from nextou_tpu.utils import fast_init
     from nextou_tpu.utils.timing import device_loop_time
 
-    spec = flagship_3d_spec(deep_supervision=False)
+    if os.environ.get("NEXTOU_BENCH_PRESET", "flagship") == "small":
+        # CPU smoke test of the bench flow itself (tiny spec, tiny volume);
+        # never the shipped headline
+        from nextou_tpu.models.presets import small_3d_spec
+
+        spec = small_3d_spec(deep_supervision=False)
+        globals()["VOL_SHAPE"] = tuple(
+            int(p * 1.25) for p in spec.patch_size
+        )
+    else:
+        spec = flagship_3d_spec(deep_supervision=False)
     model = NexToU(spec=spec, dtype=jnp.bfloat16)
     _log("spec+model built")
 
@@ -162,6 +177,28 @@ def main():
         f"({n_tiles} tiles/volume)"
     )
 
+    # BASELINE.json's configs also name mirroring TTA; record that variant
+    # (8 mirror combos/tile over axes (0,1,2)) alongside the headline.
+    # NEXTOU_BENCH_TTA=0 skips it to shorten a bench run.
+    sw_tta_pps = None
+    if os.environ.get("NEXTOU_BENCH_TTA", "1") == "1":
+        predictor_tta = make_device_sliding_predictor(
+            lambda t: model.apply(variables, t, train=False),
+            (0, 1, 2),
+            spec.patch_size,
+            spec.num_classes,
+            tile_batch=TILE_BATCH,
+            fused=True,
+            output="seg",
+        )
+        np.asarray(predictor_tta(vol))  # compile + warm
+        _log("TTA sliding-window compile+warm")
+        t0 = time.perf_counter()
+        np.asarray(predictor_tta(vol))
+        t_tta = time.perf_counter() - t0
+        sw_tta_pps = n_tiles / t_tta
+        _log(f"TTA sliding window: {t_tta:.3f} s/volume -> {sw_tta_pps:.2f} patches/s")
+
     print(
         json.dumps(
             {
@@ -178,6 +215,9 @@ def main():
                     "fwd_ms_per_batch": round(dt_fwd * 1e3, 1),
                     "sw_s_per_volume": round(t_vol, 3),
                     "sw_s_per_volume_pipelined": round(t_stream, 3),
+                    "sw_tta_patches_per_sec": (
+                        round(sw_tta_pps, 3) if sw_tta_pps else None
+                    ),
                     "n_tiles": n_tiles,
                     "baseline": {
                         "a100_fwd_est": A100_FWD_EST,
