@@ -54,7 +54,14 @@ def _ensemble_candidates(results: list[dict], dataset_folder: str) -> list[dict]
         shared = sorted(set(pa) & set(pb))
         if not shared:
             continue
-        lm = LabelManager(load_dataset_json(a["folder"]))
+        try:
+            lm = LabelManager(load_dataset_json(a["folder"]))
+        except (FileNotFoundError, KeyError) as e:
+            print(
+                f"skipping ensemble {a['name']} + {b['name']}: "
+                f"no readable dataset.json in {a['folder']} ({e})"
+            )
+            continue
         cases = []
         for cid in shared:
             probs = (
