@@ -69,7 +69,20 @@ def _ensemble_candidates(results: list[dict], dataset_folder: str) -> list[dict]
                 + np.load(pb[cid])["probabilities"].astype(np.float32)
             ) / 2.0
             seg = lm.convert_probabilities_to_segmentation(probs)
-            gt = np.load(os.path.join(dataset_folder, f"{cid}.npz"))["seg"]
+            gt_path = os.path.join(dataset_folder, f"{cid}.npz")
+            if not os.path.exists(gt_path):
+                # preprocessed cases may live under a data_identifier
+                # subfolder (e.g. nnUNetPlans_3d_fullres/)
+                hits = [
+                    os.path.join(dataset_folder, d, f"{cid}.npz")
+                    for d in sorted(os.listdir(dataset_folder))
+                    if os.path.isdir(os.path.join(dataset_folder, d))
+                ]
+                hits = [h for h in hits if os.path.exists(h)]
+                if not hits:
+                    raise FileNotFoundError(gt_path)
+                gt_path = hits[0]
+            gt = np.load(gt_path)["seg"]
             cases.append((seg, gt, cid))
         summary = evaluate_cases(cases, lm.all_labels)
         out.append(
