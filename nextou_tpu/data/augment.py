@@ -113,39 +113,59 @@ def _spatial(data, seg, cfg: AugmentConfig, rng: np.random.Generator):
     return out_d, out_s
 
 
+def _gamma_channel(x, gamma_range, inverted, rng: np.random.Generator):
+    """batchgenerators ``augment_gamma`` semantics on one channel: two-sided
+    gamma draw (50% in [lo, 1) when lo < 1, else [max(lo,1), hi]) and
+    ``retain_stats=True`` (nnU-Net passes it) — mean/std restored after the
+    power transform. The ``invert_image`` branch (negate, gamma, negate)
+    algebraically equals the 1-(1-t)^g form with stats retained on the
+    original sign."""
+    mean_stat, sd_stat = x.mean(), x.std()
+    if rng.uniform() < 0.5 and gamma_range[0] < 1:
+        gamma = rng.uniform(gamma_range[0], 1.0)
+    else:
+        gamma = rng.uniform(max(gamma_range[0], 1.0), gamma_range[1])
+    mn, rngv = x.min(), np.ptp(x)
+    t = (x - mn) / (rngv + 1e-7)
+    t = 1.0 - (1.0 - t) ** gamma if inverted else t**gamma
+    x = t * rngv + mn
+    return (x - x.mean()) / (x.std() + 1e-8) * sd_stat + mean_stat
+
+
 def _intensity(data, cfg: AugmentConfig, rng: np.random.Generator):
+    """Per-channel factor/statistics semantics follow the batchgenerators
+    transforms nnU-Net v2 configures (per_channel=True for blur sigma,
+    brightness, contrast, lowres zoom, gamma; noise is joint)."""
+    C = data.shape[0]
     if rng.uniform() < cfg.p_noise:
         var = rng.uniform(*cfg.noise_variance)
         data = data + rng.normal(0, np.sqrt(var), data.shape).astype(np.float32)
     if rng.uniform() < cfg.p_blur:
-        sigma = rng.uniform(*cfg.blur_sigma)
-        for c in range(data.shape[0]):
+        for c in range(C):
             if rng.uniform() < 0.5:
+                sigma = rng.uniform(*cfg.blur_sigma)
                 data[c] = _gauss(data[c], sigma)
     if rng.uniform() < cfg.p_brightness:
-        data = data * rng.uniform(*cfg.brightness_range)
+        for c in range(C):
+            data[c] = data[c] * rng.uniform(*cfg.brightness_range)
     if rng.uniform() < cfg.p_contrast:
-        factor = rng.uniform(*cfg.contrast_range)
-        mean = data.mean()
-        mn, mx = data.min(), data.max()
-        data = np.clip((data - mean) * factor + mean, mn, mx)
+        for c in range(C):
+            factor = rng.uniform(*cfg.contrast_range)
+            mean = data[c].mean()
+            mn, mx = data[c].min(), data[c].max()
+            data[c] = np.clip((data[c] - mean) * factor + mean, mn, mx)
     if rng.uniform() < cfg.p_lowres:
-        zoom = rng.uniform(*cfg.lowres_zoom)
-        for c in range(data.shape[0]):
+        for c in range(C):
             if rng.uniform() < 0.5:
+                zoom = rng.uniform(*cfg.lowres_zoom)
                 small = ndimage.zoom(data[c], zoom, order=0)
                 data[c] = _zoom_to(small, data[c].shape, order=3)
     for inverted, p in ((True, cfg.p_gamma_invert), (False, cfg.p_gamma)):
         if rng.uniform() < p:
-            gamma = rng.uniform(*cfg.gamma_range)
-            mn, rngv = data.min(), np.ptp(data)
-            if rngv > 1e-7:
-                x = (data - mn) / rngv
-                if inverted:
-                    x = 1.0 - (1.0 - x) ** gamma
-                else:
-                    x = x**gamma
-                data = x * rngv + mn
+            for c in range(C):
+                data[c] = _gamma_channel(
+                    data[c], cfg.gamma_range, inverted, rng
+                )
     return data.astype(np.float32)
 
 

