@@ -52,3 +52,22 @@ def test_indivisible_batch_falls_back_single_device(synth_folder, tmp_path):  # 
     )
     tr.initialize()
     assert tr.mesh is None  # gcd(3, 8) == 1
+
+
+def test_build_predictor_mesh_matches_single(synth_folder, tmp_path):  # noqa: F811
+    """predict --all-devices path: build_predictor(mesh=...) replicates the
+    variables via device_put_variables(NamedSharding) and shards the tile
+    batch; output must match the single-device predictor."""
+    from nextou_tpu.parallel import make_mesh
+    from nextou_tpu.predict import build_predictor
+
+    tr = _make_trainer(
+        "nnUNetTrainer_NexToU", synth_folder, str(tmp_path / "p_out"),
+        num_epochs=1, num_iterations_per_epoch=2,
+        num_val_iterations_per_epoch=1,
+    )
+    tr.run_training()
+    vol = np.random.default_rng(0).standard_normal((80, 72, 1)).astype(np.float32)
+    single = build_predictor(tr, tile_batch=2)(vol)
+    sharded = build_predictor(tr, tile_batch=2, mesh=make_mesh())(vol)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
