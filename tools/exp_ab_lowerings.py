@@ -69,5 +69,28 @@ def main():
     print(f"best: {best} at {results[best]*1e3:.1f} ms "
           f"-> {B/results[best]:.2f} patches/s", flush=True)
 
+    # batch sweep at the winning combo: larger tile batches amortize the
+    # per-dispatch fixed cost if HBM allows (flagship activations ~2 GB/patch
+    # with remat off at inference)
+    shuffle, phase = (kv.split("=")[1] for kv in best.split())
+    os.environ["NEXTOU_SHUFFLE_TRANSPCONV"] = shuffle
+    os.environ["NEXTOU_PHASE_CONV"] = phase
+    for b in (3, 4):
+        xb = jnp.zeros((b, *spec.patch_size, spec.in_channels), jnp.bfloat16)
+        try:
+            dt = device_loop_time(
+                lambda x: model.apply(v, x, train=False),
+                xb,
+                n_small=1,
+                n_large=6,
+                repeats=2,
+            )
+            print(
+                f"batch {b}: {dt*1e3:.1f} ms -> {b/dt:.2f} patches/s",
+                flush=True,
+            )
+        except Exception as e:  # OOM etc. — report and keep going
+            print(f"batch {b}: failed ({type(e).__name__}: {e})", flush=True)
+
 
 main()
