@@ -290,3 +290,58 @@ def test_shuffle_conv_transpose_env_fallback(monkeypatch):
     got = mod.apply(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-6)
+
+
+def test_lowering_gradients_match_default(monkeypatch):
+    """Gradients through the opt-in conv lowerings (polyphase strided conv,
+    pixel-shuffle transp-conv) must match the native lowerings' — these can
+    become TRAINING defaults after the in-model A/B, so backward parity is
+    load-bearing, not just forward."""
+    from nextou_tpu.nn.layers import FoldedConv, ShuffleConvTranspose
+
+    rng = np.random.default_rng(3)
+
+    def grads(mod, v, x):
+        def loss(v, x):
+            y = mod.apply(v, x)
+            # non-uniform weighting so grads aren't constant fields
+            w = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape)
+            return jnp.sum(y * w) / y.size
+        gv, gx = jax.grad(loss, argnums=(0, 1))(v, x)
+        return gv["params"]["kernel"], gv["params"]["bias"], gx
+
+    # strided conv: default vs polyphase
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 16, 5)), jnp.float32)
+    mod = FoldedConv(features=6, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+                     padding=((1, 1), (1, 1), (1, 1)))
+    v = mod.init(jax.random.PRNGKey(0), x)
+    v = {"params": {
+        "kernel": jnp.asarray(
+            rng.standard_normal(v["params"]["kernel"].shape), jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal((6,)), jnp.float32),
+    }}
+    monkeypatch.delenv("NEXTOU_PHASE_CONV", raising=False)
+    want = grads(mod, v, x)
+    monkeypatch.setenv("NEXTOU_PHASE_CONV", "1")
+    got = grads(mod, v, x)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   atol=3e-5, rtol=1e-5)
+
+    # transp-conv: pixel shuffle vs lax.conv_transpose
+    xt = jnp.asarray(rng.standard_normal((2, 4, 6, 8, 5)), jnp.float32)
+    modt = ShuffleConvTranspose(features=7, kernel_size=(2, 2, 2),
+                                strides=(2, 2, 2))
+    vt = modt.init(jax.random.PRNGKey(1), xt)
+    vt = {"params": {
+        "kernel": jnp.asarray(
+            rng.standard_normal(vt["params"]["kernel"].shape), jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal((7,)), jnp.float32),
+    }}
+    monkeypatch.setenv("NEXTOU_SHUFFLE_TRANSPCONV", "1")
+    want = grads(modt, vt, xt)
+    monkeypatch.setenv("NEXTOU_SHUFFLE_TRANSPCONV", "0")
+    got = grads(modt, vt, xt)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   atol=3e-5, rtol=1e-5)
