@@ -387,8 +387,19 @@ class InstanceNorm(nn.Module):
         C = x.shape[-1]
         axes = tuple(range(1, x.ndim - 1))
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        if os.environ.get("NEXTOU_ONEPASS_IN", "0") == "1":
+            # one-pass statistics: sum and sum-of-squares are INDEPENDENT
+            # reductions over the same input, so XLA multi-output-fuses them
+            # into a single HBM read; the default two-pass form (var depends
+            # on mean) forces a second full read of the feature map per norm.
+            # fp32 E[x^2]-mean^2 loses ~2*log2(|mean|/std) mantissa bits to
+            # cancellation — opt-in until the in-model win/parity is measured.
+            mean = jnp.mean(xf, axis=axes, keepdims=True)
+            meansq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+            var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        else:
+            mean = jnp.mean(xf, axis=axes, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         scale = self.param("scale", self.scale_init, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)

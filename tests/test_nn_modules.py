@@ -345,3 +345,27 @@ def test_lowering_gradients_match_default(monkeypatch):
     for g, w_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
                                    atol=3e-5, rtol=1e-5)
+
+
+def test_instance_norm_onepass_matches(monkeypatch):
+    """NEXTOU_ONEPASS_IN=1 (fused sum/sumsq statistics) must match the
+    default two-pass instance norm within fp32 cancellation error, including
+    a large-mean case that stresses E[x^2]-mean^2."""
+    from nextou_tpu.nn.layers import InstanceNorm
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((2, 6, 7, 8, 12)).astype(np.float32)
+    # mean/std ~ 30 loses ~10 mantissa bits to E[x^2]-mean^2 cancellation:
+    # measured max-abs error 2e-3 on normalized outputs — why the knob is
+    # opt-in and must additionally pass the full-model torch-parity test
+    # before ever becoming a default
+    for shift, atol in ((0.0, 5e-5), (30.0, 5e-3)):
+        x = jnp.asarray(base + shift)
+        mod = InstanceNorm()
+        v = mod.init(jax.random.PRNGKey(0), x)
+        monkeypatch.delenv("NEXTOU_ONEPASS_IN", raising=False)
+        want = mod.apply(v, x)
+        monkeypatch.setenv("NEXTOU_ONEPASS_IN", "1")
+        got = mod.apply(v, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=atol, rtol=1e-4)
