@@ -92,5 +92,17 @@ def main():
         except Exception as e:  # OOM etc. — report and keep going
             print(f"batch {b}: failed ({type(e).__name__}: {e})", flush=True)
 
+    # one-pass instance-norm statistics at the winning combo (batch 2)
+    os.environ["NEXTOU_ONEPASS_IN"] = "1"
+    dt = device_loop_time(
+        lambda x: model.apply(v, x, train=False),
+        x,
+        n_small=1,
+        n_large=6,
+        repeats=2,
+    )
+    print(f"onepass-IN: {dt*1e3:.1f} ms -> {B/dt:.2f} patches/s", flush=True)
+    del os.environ["NEXTOU_ONEPASS_IN"]
+
 
 main()
