@@ -38,7 +38,7 @@ def test_ensemble_predictor_averages(monkeypatch):
     monkeypatch.setattr(
         predict_mod,
         "build_predictor",
-        lambda trainer, tile_batch=2, mesh=None, output="probs": (
+        lambda trainer, tile_batch=2, mesh=None, output="probs", **kw: (
             lambda data: outs[trainer]
         ),
     )
