@@ -30,12 +30,18 @@ def _ensemble_candidates(results: list[dict], dataset_folder: str) -> list[dict]
     probabilities (``nnUNetv2_train --npz``): average the two softmaxes per
     case, convert to labels, score against the preprocessed GT — the
     substrate's find_best ensembling step. Runs without npz files (or with
-    disjoint case sets) are silently not paired."""
+    disjoint case sets) are silently not paired; a pair that fails to
+    evaluate (missing GT, mismatched grids, unreadable npz) is skipped with
+    a message and never aborts the ranking of the other candidates.
+
+    The loop runs case-outermost so each run's probabilities and each GT
+    file are decompressed once per case, not once per pair (O(runs) loads
+    instead of O(runs^2))."""
     import itertools
 
     import numpy as np
 
-    from nextou_tpu.infer.evaluate import evaluate_cases
+    from nextou_tpu.infer.evaluate import case_metrics, summarize_metrics
     from nextou_tpu.plans.loader import LabelManager, load_dataset_json
 
     def _prob_cases(folder: str) -> dict[str, str]:
@@ -48,10 +54,10 @@ def _ensemble_candidates(results: list[dict], dataset_folder: str) -> list[dict]
             if f.endswith(".npz")
         }
 
-    out = []
+    probmaps = {r["folder"]: _prob_cases(r["folder"]) for r in results}
+    pairs = []
     for a, b in itertools.combinations(results, 2):
-        pa, pb = _prob_cases(a["folder"]), _prob_cases(b["folder"])
-        shared = sorted(set(pa) & set(pb))
+        shared = set(probmaps[a["folder"]]) & set(probmaps[b["folder"]])
         if not shared:
             continue
         try:
@@ -62,33 +68,80 @@ def _ensemble_candidates(results: list[dict], dataset_folder: str) -> list[dict]
                 f"no readable dataset.json in {a['folder']} ({e})"
             )
             continue
-        cases = []
-        for cid in shared:
-            probs = (
-                np.load(pa[cid])["probabilities"].astype(np.float32)
-                + np.load(pb[cid])["probabilities"].astype(np.float32)
-            ) / 2.0
-            seg = lm.convert_probabilities_to_segmentation(probs)
-            gt_path = os.path.join(dataset_folder, f"{cid}.npz")
-            if not os.path.exists(gt_path):
-                # preprocessed cases may live under a data_identifier
-                # subfolder (e.g. nnUNetPlans_3d_fullres/)
-                hits = [
-                    os.path.join(dataset_folder, d, f"{cid}.npz")
-                    for d in sorted(os.listdir(dataset_folder))
-                    if os.path.isdir(os.path.join(dataset_folder, d))
-                ]
-                hits = [h for h in hits if os.path.exists(h)]
-                if not hits:
-                    raise FileNotFoundError(gt_path)
-                gt_path = hits[0]
-            gt = np.load(gt_path)["seg"]
-            cases.append((seg, gt, cid))
-        summary = evaluate_cases(cases, lm.all_labels)
+        pairs.append(
+            {"a": a, "b": b, "shared": shared, "lm": lm, "metrics": [],
+             "failed": None}
+        )
+    if not pairs:
+        return []
+
+    def _gt_matching(cid: str, shape, cache: dict) -> np.ndarray:
+        """The preprocessed GT for ``cid`` whose (squeezed) spatial shape
+        matches the prediction — cases may live flat or under several
+        data_identifier subfolders (e.g. nnUNetPlans_2d/ AND
+        nnUNetPlans_3d_fullres/); picking by shape instead of first-found
+        prevents scoring against another configuration's grid."""
+        if cid not in cache:
+            cands = [os.path.join(dataset_folder, f"{cid}.npz")] + [
+                os.path.join(dataset_folder, d, f"{cid}.npz")
+                for d in sorted(os.listdir(dataset_folder))
+                if os.path.isdir(os.path.join(dataset_folder, d))
+            ]
+            cache[cid] = [
+                np.squeeze(np.load(p)["seg"])
+                for p in cands
+                if os.path.exists(p)
+            ]
+        want = tuple(s for s in shape if s != 1)
+        for gt in cache[cid]:
+            if gt.shape == want:
+                return gt
+        if not cache[cid]:
+            raise FileNotFoundError(
+                os.path.join(dataset_folder, f"{cid}.npz")
+            )
+        raise ValueError(
+            f"no preprocessed GT for {cid} matches prediction shape "
+            f"{tuple(shape)} (found {[g.shape for g in cache[cid]]})"
+        )
+
+    all_cids = sorted(set().union(*(p["shared"] for p in pairs)))
+    for cid in all_cids:
+        live = [p for p in pairs if p["failed"] is None and cid in p["shared"]]
+        if not live:
+            continue
+        probs, gt_cache = {}, {}
+        for p in live:
+            try:
+                for run in (p["a"], p["b"]):
+                    f = run["folder"]
+                    if f not in probs:
+                        probs[f] = np.load(probmaps[f][cid])[
+                            "probabilities"
+                        ].astype(np.float32)
+                avg = (probs[p["a"]["folder"]] + probs[p["b"]["folder"]]) / 2.0
+                seg = p["lm"].convert_probabilities_to_segmentation(avg)
+                gt = _gt_matching(cid, np.shape(seg), gt_cache)
+                p["metrics"].append(
+                    {"case": cid,
+                     "metrics": case_metrics(seg, gt, p["lm"].all_labels)}
+                )
+            except Exception as e:  # noqa: BLE001 — isolate this pair only
+                p["failed"] = f"case {cid}: {type(e).__name__}: {e}"
+
+    out = []
+    for p in pairs:
+        name = f"ensemble {p['a']['name']} + {p['b']['name']}"
+        if p["failed"] is not None:
+            print(f"skipping {name}: {p['failed']}")
+            continue
+        if not p["metrics"]:
+            continue
+        summary = summarize_metrics(p["metrics"], p["lm"].all_labels)
         out.append(
             {
-                "name": f"ensemble {a['name']} + {b['name']}",
-                "folder": [a["folder"], b["folder"]],
+                "name": name,
+                "folder": [p["a"]["folder"], p["b"]["folder"]],
                 "fg_mean_dice": summary["foreground_mean"]["Dice"],
             }
         )

@@ -88,6 +88,16 @@ def evaluate_cases(
         metric_per_case.append(
             {"case": cid, "metrics": case_metrics(pred, ref, labels, spacing)}
         )
+    return summarize_metrics(metric_per_case, labels, output_file)
+
+
+def summarize_metrics(
+    metric_per_case: list[dict],
+    labels,
+    output_file: str | None = None,
+) -> dict:
+    """Aggregate per-case ``case_metrics`` entries ({'case', 'metrics'})
+    into the summary.json structure (per-label and foreground means)."""
 
     def _mean(label: str, metric: str) -> float:
         vals = [

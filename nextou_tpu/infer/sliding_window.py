@@ -284,8 +284,10 @@ def make_device_sliding_predictor(
         pad = [(0, max(0, p - s)) for s, p in zip(spatial, patch)]
         if any(p[1] for p in pad):
             data = np.pad(np.asarray(data), pad + [(0, 0)])
-        if isinstance(data, np.ndarray) and data.dtype != tdt:
-            data = data.astype(tdt)  # halve the host->device transfer
+        if data.dtype != tdt:
+            # halve the host->device transfer; also applies to jax-array
+            # inputs so an explicit transfer_dtype override always holds
+            data = data.astype(tdt)
         psp = data.shape[:-1]
         steps = compute_sliding_window_steps(psp, patch, step_fraction)
         coords = np.asarray(list(itertools.product(*steps)), np.int32)

@@ -233,7 +233,10 @@ def knn_max_neighbors(
     # plus dist/iota/onehot scratch (~4x tile*M).
     tile = min(tile_n, _round_up(N, 8))
 
-    val_bytes = 2 if x.dtype == jnp.bfloat16 else 4
+    # keyed on the VALUE set's dtype: _knn_max_fused keeps yv bf16 only when
+    # y itself is bf16 (knn.py:175) — estimating from x.dtype would
+    # undercount VMEM for a mixed-dtype (bf16 x, f32 y) call
+    val_bytes = 2 if vals.dtype == jnp.bfloat16 else 4
 
     def est_vmem(bb: int) -> int:
         # double-buffered operand/output blocks + rel + dist/iota/onehot/

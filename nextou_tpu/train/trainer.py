@@ -89,6 +89,10 @@ class NexToUTrainer:
         # needs host-side connected components).
         self.device_da = device_da
         self.seed = seed
+        # producer threads for the host loader (nnUNet_n_proc_DA's role).
+        # 1 = fully deterministic batch order (per-thread RNG streams make
+        # multi-thread order depend on scheduling)
+        self.loader_threads = int(os.environ.get("NEXTOU_LOADER_THREADS", "2"))
         if num_epochs is not None:
             self.num_epochs = num_epochs
         if num_iterations_per_epoch is not None:
@@ -284,9 +288,12 @@ class NexToUTrainer:
             (1, *self.model_spec.patch_size, self.model_spec.in_channels),
             jnp.float32,
         )
-        # int seed -> fully host-side init (utils/init.py): identical params
-        # to the PRNGKey path but zero device touches before the first step
-        # (the tunneled TPU's first D2H fetch can stall minutes).
+        # int seed -> fully host-side init (utils/init.py): zero device
+        # touches before the first step (the tunneled TPU's first D2H fetch
+        # can stall minutes). NOTE the int-seed path is its own
+        # deterministic stream, NOT bit-identical to create_train_state's
+        # PRNGKey path (which splits the key before init) — reproducing a
+        # run requires the same seed *form*, and both are deterministic.
         self.state = create_train_state(
             self.network, self.optimizer, example, self.seed
         )
@@ -380,10 +387,12 @@ class NexToUTrainer:
         )
         train_loader = PatchDataLoader(
             train_sampler, augment=aug, seed=self.seed,
+            num_threads=self.loader_threads,
             onehot_labels=onehot, cascade_noise=cascade,
         )
         val_loader = PatchDataLoader(
             val_sampler, augment=None, seed=self.seed + 7,
+            num_threads=self.loader_threads,
             onehot_labels=onehot, cascade_noise=False,
         )
         return train_loader, val_loader

@@ -59,3 +59,48 @@ def test_resolve_preprocessed_env(tmp_path, monkeypatch):
     # explicit existing path wins; unknown name passes through
     assert resolve_preprocessed(str(tmp_path)) == str(tmp_path)
     assert resolve_preprocessed("DatasetMissing") == "DatasetMissing"
+
+
+def test_find_best_ensemble_gt_shape_matching_and_pair_isolation(tmp_path):
+    """Ensembling must (a) pick the preprocessed GT whose grid matches the
+    prediction when several data_identifier subfolders hold the same case
+    (the alphabetically-first one used to win — scoring 3d runs against the
+    2d grid), and (b) skip a pair that fails to evaluate without aborting
+    the ranking of the others."""
+    from nextou_tpu.find_best_configuration import _ensemble_candidates
+
+    dsj = {"labels": {"background": 0, "fg": 1}, "numTraining": 1,
+           "channel_names": {"0": "img"}}
+
+    def make_run(name, shape, hot):
+        d = tmp_path / name / "validation"
+        d.mkdir(parents=True)
+        probs = np.zeros((*shape, 2), np.float16)
+        probs[..., 0] = 1.0
+        probs[hot][..., 0] = 0.0
+        probs[hot][..., 1] = 1.0
+        np.savez(d / "case0.npz", probabilities=probs)
+        (tmp_path / name / "dataset.json").write_text(json.dumps(dsj))
+        return {"name": name, "folder": str(tmp_path / name)}
+
+    # two 4x4-grid runs agreeing on the same fg square, one 8x8-grid run
+    hot = (slice(0, 2), slice(0, 2))
+    a = make_run("runA", (4, 4), hot)
+    b = make_run("runB", (4, 4), hot)
+    c = make_run("runC", (8, 8), hot)  # different grid: unpairable with a/b
+
+    # GT lives under two data_identifier subfolders; the 2d one sorts first
+    # and has the WRONG grid for these runs
+    ds = tmp_path / "preproc"
+    (ds / "nnUNetPlans_2d").mkdir(parents=True)
+    (ds / "nnUNetPlans_3d_fullres").mkdir()
+    np.savez(ds / "nnUNetPlans_2d" / "case0.npz",
+             seg=np.zeros((1, 2, 2), np.int16))
+    gt = np.zeros((4, 4), np.int16)
+    gt[0:2, 0:2] = 1  # exactly the runs' predicted fg square
+    np.savez(ds / "nnUNetPlans_3d_fullres" / "case0.npz", seg=gt[None])
+
+    out = _ensemble_candidates([a, b, c], str(ds))
+    names = [o["name"] for o in out]
+    assert names == ["ensemble runA + runB"]  # c-pairs skipped, not fatal
+    assert out[0]["fg_mean_dice"] == 1.0  # scored against the matching grid

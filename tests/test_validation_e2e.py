@@ -32,6 +32,10 @@ def test_train_then_validate(tmp_path):
         num_iterations_per_epoch=20,
         num_val_iterations_per_epoch=2,
     )
+    # single producer thread => deterministic batch order (multi-thread
+    # order depends on OS scheduling and made this marginal-step-count
+    # assertion flaky under box contention)
+    trainer.loader_threads = 1
     trainer.run_training()
     summary = trainer.perform_actual_validation()
     path = os.path.join(out, "validation", "summary.json")

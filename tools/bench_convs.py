@@ -102,4 +102,5 @@ def main():
     print(f"~sum x2: {total*1e3:.1f} ms")
 
 
-main()
+if __name__ == "__main__":
+    main()

@@ -51,4 +51,5 @@ def main():
         print(f"total t{t}: {total[t]*1e3:.2f} ms", flush=True)
 
 
-main()
+if __name__ == "__main__":
+    main()

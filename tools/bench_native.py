@@ -42,4 +42,5 @@ def main():
     print(f"gaussian s=1.0: scipy {ts:.2f}s native {tn:.2f}s ({ts/tn:.1f}x)")
 
 
-main()
+if __name__ == "__main__":
+    main()

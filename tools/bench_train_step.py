@@ -80,4 +80,5 @@ def main():
     print(f"final loss {loss_val:.4f}", flush=True)
     print(f"train step: {dt*1e3:.0f} ms ({B} patches) -> {B/dt:.2f} patches/s", flush=True)
 
-main()
+if __name__ == "__main__":
+    main()

@@ -105,4 +105,5 @@ def main():
     del os.environ["NEXTOU_ONEPASS_IN"]
 
 
-main()
+if __name__ == "__main__":
+    main()

@@ -126,4 +126,5 @@ def main():
     bench("shuffle again")
 
 
-main()
+if __name__ == "__main__":
+    main()

@@ -108,4 +108,5 @@ def main():
     # (3,3,3); skip here (im2col form targets the folded 2D convs).
 
 
-main()
+if __name__ == "__main__":
+    main()

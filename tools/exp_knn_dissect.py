@@ -124,4 +124,5 @@ def main():
     bench_shape("s2 swin", 1024, 168, 168, 132, 7, 176, 16)
 
 
-main()
+if __name__ == "__main__":
+    main()

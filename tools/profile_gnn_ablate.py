@@ -124,4 +124,5 @@ def main():
             measure("gnn=identity (conv only)")
 
 
-main()
+if __name__ == "__main__":
+    main()

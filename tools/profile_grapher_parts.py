@@ -110,4 +110,5 @@ def main2():
 
 
 import sys as _sys
-(main2 if len(_sys.argv) > 1 and _sys.argv[1] == "parts2" else main)()
+if __name__ == "__main__":
+    (main2 if len(_sys.argv) > 1 and _sys.argv[1] == "parts2" else main)()
