@@ -129,9 +129,14 @@ def dilated_knn_graph(
     Returns:
         ``(B, N, k)`` int32 neighbor indices.
     """
-    x = _l2_normalize(x, axis=-1)
+    # normalize (and measure distances) in f32 regardless of the model
+    # dtype: the fused Pallas kernel and knn_max_neighbors_reference both
+    # select neighbors on f32-normalized features (kernels/knn.py:151,170),
+    # and bf16 rounding here could flip near-tied top-k picks between the
+    # fallback and fused paths
+    x = _l2_normalize(x.astype(jnp.float32), axis=-1)
     if y is not None:
-        y = _l2_normalize(y, axis=-1)
+        y = _l2_normalize(y.astype(jnp.float32), axis=-1)
     nn_idx = dense_knn(x, k * dilation, y=y, relative_pos=relative_pos)
     if dilation <= 1:
         return nn_idx

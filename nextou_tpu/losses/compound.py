@@ -72,6 +72,13 @@ def dc_ce_ti_loss(
         loss_mask = None
 
     if spec.regions is not None:
+        if spec.weight_ti != 0 and spec.ti is not None and spec.ti.interactions:
+            raise NotImplementedError(
+                "TI/BTI loss with region-based training is not supported "
+                "(the reference TI losses operate on integer label maps, "
+                "not sigmoid region channels) — drop the regions or the "
+                "TI interactions from the CompoundLossSpec"
+            )
         from nextou_tpu.losses.dice import region_soft_dice_loss
 
         tgt_r = region_targets(target_dice, spec.regions).astype(jnp.float32)
@@ -90,11 +97,14 @@ def dc_ce_ti_loss(
             logq = jax.nn.log_sigmoid(-logits.astype(jnp.float32))
             bce = -(tgt_r * logp + (1.0 - tgt_r) * logq)
             if loss_mask is not None:
+                # nnU-Net's DC_and_BCE_loss: (bce * mask).sum() / mask.sum()
+                # — the (B,1,*sp) mask broadcasts over the R region channels
+                # in the numerator while the denominator counts each voxel
+                # ONCE, i.e. the per-voxel BCE summed over regions
                 m = loss_mask.astype(jnp.float32)
                 m = m[..., None] if channels_last else m[:, None]
-                n_regions = bce.shape[-1] if channels_last else bce.shape[1]
                 total = total + spec.weight_ce * (
-                    jnp.sum(bce * m) / jnp.clip(jnp.sum(m) * n_regions, min=1.0)
+                    jnp.sum(bce * m) / jnp.clip(jnp.sum(m), min=1e-8)
                 )
             else:
                 total = total + spec.weight_ce * jnp.mean(bce)

@@ -16,6 +16,10 @@ import jax.numpy as jnp
 
 
 def deep_supervision_weights(n_outputs: int) -> np.ndarray:
+    if n_outputs == 1:
+        # deep supervision disabled (single full-res output): the reference
+        # trainer skips the wrapper entirely; zeroing-the-last would be 0/0
+        return np.array([1.0])
     w = np.array([1.0 / 2**i for i in range(n_outputs)])
     w[-1] = 0.0
     return w / w.sum()

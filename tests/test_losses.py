@@ -206,3 +206,58 @@ def test_ti_ignore_label_masks_critical_voxels():
         dc_ce_ti_loss(jnp.asarray(logits), jnp.asarray(target), spec_no_ti)
     )
     assert abs(loss - loss_no_ti) < 1e-7
+
+
+def test_ds_weights_single_output():
+    """n_outputs=1 (deep supervision disabled) must be [1.0], not 0/0=nan
+    (zeroing the only output would make every step NaN)."""
+    w = deep_supervision_weights(1)
+    np.testing.assert_allclose(w, [1.0])
+
+
+def test_region_bce_mask_normalization_matches_torch():
+    """Region-mode masked BCE must reproduce nnU-Net's DC_and_BCE_loss
+    reduction: (bce * mask).sum() / mask.sum() — the (B,1,*sp) mask
+    broadcasts over the R region channels in the numerator while the
+    denominator counts each voxel once."""
+    import torch
+
+    from nextou_tpu.losses.compound import (
+        CompoundLossSpec, dc_ce_ti_loss, region_targets,
+    )
+
+    rng = np.random.default_rng(2)
+    regions = ((1, 2), (2,))
+    logits = rng.standard_normal((2, 4, 4, len(regions))).astype(np.float32)
+    target = rng.integers(0, 3, (2, 4, 4)).astype(np.int32)
+    target[0, :2] = 9  # ignore label
+    spec = CompoundLossSpec(
+        weight_ce=1.0, weight_dice=0.0, regions=regions, ignore_label=9,
+    )
+    got = float(dc_ce_ti_loss(jnp.asarray(logits), jnp.asarray(target), spec))
+
+    mask = torch.from_numpy((target != 9)[:, None].astype(np.float32))
+    tgt_r = region_targets(np.where(target == 9, 0, target), regions)
+    tgt_r = torch.from_numpy(
+        np.moveaxis(np.asarray(tgt_r), -1, 1).astype(np.float32))
+    lg = torch.from_numpy(np.moveaxis(logits, -1, 1))
+    bce = torch.nn.BCEWithLogitsLoss(reduction="none")(lg, tgt_r)
+    want = float((bce * mask).sum() / mask.sum().clip(min=1e-8))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_region_plus_ti_raises():
+    """Regions + TI interactions is an unsupported combination and must be
+    an explicit error, not a silently dropped TI term."""
+    from nextou_tpu.losses.compound import CompoundLossSpec, dc_ce_ti_loss
+    from nextou_tpu.losses.ti import TILossSpec
+
+    spec = CompoundLossSpec(
+        weight_ti=1e-6,
+        ti=TILossSpec.create(dim=2, connectivity=8, exclusion=[[1, 2]]),
+        regions=((1, 2), (2,)),
+    )
+    logits = jnp.zeros((1, 4, 4, 2))
+    target = jnp.zeros((1, 4, 4), jnp.int32)
+    with pytest.raises(NotImplementedError):
+        dc_ce_ti_loss(logits, target, spec)
