@@ -138,8 +138,11 @@ def _intensity(data, cfg: AugmentConfig, rng: np.random.Generator):
     brightness, contrast, lowres zoom, gamma; noise is joint)."""
     C = data.shape[0]
     if rng.uniform() < cfg.p_noise:
-        var = rng.uniform(*cfg.noise_variance)
-        data = data + rng.normal(0, np.sqrt(var), data.shape).astype(np.float32)
+        # batchgenerators' augment_gaussian_noise passes the value drawn
+        # from noise_variance directly as np.random.normal's *scale* (std),
+        # despite the name — no sqrt, or the noise is ~3x too strong
+        sd = rng.uniform(*cfg.noise_variance)
+        data = data + rng.normal(0, sd, data.shape).astype(np.float32)
     if rng.uniform() < cfg.p_blur:
         for c in range(C):
             if rng.uniform() < 0.5:
@@ -158,7 +161,13 @@ def _intensity(data, cfg: AugmentConfig, rng: np.random.Generator):
         for c in range(C):
             if rng.uniform() < 0.5:
                 zoom = rng.uniform(*cfg.lowres_zoom)
-                small = ndimage.zoom(data[c], zoom, order=0)
+                # anisotropic patches keep full through-plane resolution:
+                # nnU-Net passes ignore_axes=(0,) to SimulateLowResolution
+                # when do_dummy_2d is on
+                factors = [zoom] * data[c].ndim
+                if cfg.dummy_2d and data[c].ndim == 3:
+                    factors[0] = 1.0
+                small = ndimage.zoom(data[c], factors, order=0)
                 data[c] = _zoom_to(small, data[c].shape, order=3)
     for inverted, p in ((True, cfg.p_gamma_invert), (False, cfg.p_gamma)):
         if rng.uniform() < p:

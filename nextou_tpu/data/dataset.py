@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -27,7 +28,10 @@ def save_case(
     """Write one preprocessed case with cached class locations."""
     os.makedirs(folder, exist_ok=True)
     assert data.ndim == seg.ndim + 1, (data.shape, seg.shape)
-    rng = np.random.default_rng(abs(hash(case_id)) % (2**32))
+    # stable per-case seed: str.__hash__ is randomized per process
+    # (PYTHONHASHSEED), which would make fg-location subsampling — and thus
+    # every downstream oversampled patch — non-reproducible across runs
+    rng = np.random.default_rng(zlib.crc32(case_id.encode()))
     class_locs = {}
     for c in np.unique(seg):
         if c <= 0:

@@ -354,10 +354,13 @@ def _augment_sample(key, data, seg, prev, cfg: AugmentConfig, banded_ops,
     if cfg.p_noise > 0:
         kp, kv, kn = jax.random.split(k_noise, 3)
         trig = jax.random.uniform(kp) < cfg.p_noise
-        var = jax.random.uniform(
+        # the drawn value is np.random.normal's *scale* (std) in
+        # batchgenerators' augment_gaussian_noise, despite the name — no
+        # sqrt (kept aligned with data/augment.py)
+        sd = jax.random.uniform(
             kv, minval=cfg.noise_variance[0], maxval=cfg.noise_variance[1]
         )
-        noise = jax.random.normal(kn, data.shape) * jnp.sqrt(var)
+        noise = jax.random.normal(kn, data.shape) * sd
         data = jnp.where(trig, data + noise, data)
 
     # ---- Gaussian blur (per-channel coin + per-channel sigma, like
@@ -428,6 +431,10 @@ def _augment_sample(key, data, seg, prev, cfg: AugmentConfig, banded_ops,
             for c in range(d.shape[-1]):  # per-channel zoom (batchgenerators
                 low = d[..., c]           # SimulateLowRes per_channel=True)
                 for ax in range(dim):
+                    if cfg.dummy_2d and dim == 3 and ax == 0:
+                        # nnU-Net passes ignore_axes=(0,) when do_dummy_2d:
+                        # the thin axis keeps full resolution
+                        continue
                     A = lowres_axis_matrix(sp[ax], zoom[c])
                     low = jnp.moveaxis(
                         jnp.tensordot(

@@ -52,8 +52,15 @@ class PatchDataLoader:
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        self._errors: list[BaseException] = []
 
     def _produce(self, tid: int):
+        try:
+            self._produce_loop(tid)
+        except BaseException as e:  # noqa: BLE001 — surfaced by __next__
+            self._errors.append(e)
+
+    def _produce_loop(self, tid: int):
         rng = self._rngs[tid]
         while not self._stop.is_set():
             # per-thread RNG stream: sampling runs lock-free (the sampler's
@@ -109,7 +116,24 @@ class PatchDataLoader:
         return self
 
     def __next__(self):
-        return self._q.get()
+        # poll with a timeout instead of blocking forever: a producer that
+        # died (corrupt case, missing prev-stage file) must surface its
+        # exception here, not hang training mid-epoch
+        while True:
+            try:
+                return self._q.get(timeout=1.0)
+            except queue.Empty:
+                if self._errors:
+                    self._stop.set()
+                    raise RuntimeError(
+                        "PatchDataLoader producer thread failed"
+                    ) from self._errors[0]
+                if self._threads and not any(
+                    t.is_alive() for t in self._threads
+                ):
+                    raise RuntimeError(
+                        "all PatchDataLoader producer threads exited"
+                    )
 
     def __enter__(self):
         return self.start()

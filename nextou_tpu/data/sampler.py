@@ -85,9 +85,12 @@ class PatchSampler:
             return locs[rng.integers(len(locs))].astype(np.int64)
         ps = np.array(patch_size)
         lo = np.minimum(ps // 2, sp // 2)
-        hi = np.maximum(sp - ps + ps // 2, lo + 1)
+        # hi is the INCLUSIVE last valid center (start sp-ps); rng.integers'
+        # exclusive upper bound therefore gets +1, otherwise the volume's
+        # trailing plane per axis is never sampled uniformly
+        hi = np.maximum(sp - ps + ps // 2, lo)
         return np.array(
-            [rng.integers(l, h) for l, h in zip(lo, hi)], np.int64
+            [rng.integers(l, h + 1) for l, h in zip(lo, hi)], np.int64
         )
 
     def sample_batch(

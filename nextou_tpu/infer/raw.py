@@ -35,12 +35,16 @@ def predict_raw_case(
     transpose_forward: Sequence[int] | None = None,
     transpose_backward: Sequence[int] | None = None,
     prev_onehot: np.ndarray | None = None,
+    prev_onehot_loader: Callable[[tuple], np.ndarray] | None = None,
     label_manager=None,
 ) -> np.ndarray:
     """images: (C, *sp) raw; returns (*sp) int16 seg at original geometry.
 
     ``prev_onehot``: optional cascade channels (F, *preprocessed_sp) already
     on the preprocessed grid, appended after normalization/resampling.
+    ``prev_onehot_loader``: alternative for callers that cannot know the
+    preprocessed grid up front — called with the resampled spatial shape,
+    must return (F, *that_shape).
     """
     spacing = list(spacing)
     if transpose_forward:
@@ -63,6 +67,8 @@ def predict_raw_case(
     data = np.stack([resample_to_shape(c, new_shape, order=3) for c in data])
 
     x = np.moveaxis(data, 0, -1)
+    if prev_onehot is None and prev_onehot_loader is not None:
+        prev_onehot = prev_onehot_loader(tuple(new_shape))
     if prev_onehot is not None:
         x = np.concatenate(
             [x, np.moveaxis(prev_onehot, 0, -1).astype(np.float32)], axis=-1
@@ -110,12 +116,17 @@ def predict_raw_folder(
         "channel_names", dataset_json.get("modality", {"0": "noNorm"})
     )
     n_ch = len(channels)
+    def _case_of(stem: str) -> str:
+        # strip only nnU-Net's channel convention: a 4-digit _0000 suffix.
+        # A looser any-digits rule misparses single-channel names like
+        # patient_01.nii.gz into 'patient'.
+        head, _, tail = stem.rpartition("_")
+        return head if head and len(tail) == 4 and tail.isdigit() else stem
+
     if cases is None:
         cases = sorted(
             {
-                f[: -len(ending)].rsplit("_", 1)[0]
-                if f[: -len(ending)].rsplit("_", 1)[-1].isdigit()
-                else f[: -len(ending)]
+                _case_of(f[: -len(ending)])
                 for f in os.listdir(input_folder)
                 if f.endswith(ending)
             }
@@ -147,6 +158,11 @@ def predict_raw_folder(
             intensity_props=intensity,
             transpose_forward=plans_manager.transpose_forward or None,
             transpose_backward=plans_manager.transpose_backward or None,
+            prev_onehot_loader=(
+                None
+                if prev_seg_loader is None
+                else (lambda shape, _cid=cid: prev_seg_loader(_cid, shape))
+            ),
             label_manager=plans_manager.get_label_manager(dataset_json),
         )
         out = os.path.join(output_folder, f"{cid}{ending}")

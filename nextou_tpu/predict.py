@@ -79,6 +79,10 @@ def build_predictor(
     ACC_BUDGET_BYTES = 4 << 30
 
     def predict(data: np.ndarray) -> np.ndarray:
+        if data.ndim - 1 == len(patch) + 1:
+            # 2d configuration on a volumetric case: predict slice-by-slice
+            # along the leading axis (nnU-Net's 2d inference over 3d data)
+            return np.stack([predict(data[z]) for z in range(data.shape[0])])
         vox = int(np.prod(data.shape[:-1]))
         acc_bytes = vox * (ncls + 1 + data.shape[-1]) * 4
         if device_pred is not None and acc_bytes <= ACC_BUDGET_BYTES:
@@ -251,6 +255,32 @@ def main(argv=None):
             trainers, tile_batch=args.tile_batch, mesh=mesh,
             step_size=args.step_size, disable_tta=args.disable_tta,
         )
+        prev_seg_loader = None
+        if trainer.configuration_manager.previous_stage_name is not None:
+            if args.prev_stage_predictions is None:
+                raise SystemExit(
+                    f"configuration '{args.configuration}' is a cascade "
+                    "stage: pass -prev with the previous stage's predictions"
+                )
+            from nextou_tpu.data.preprocessing import resample_to_shape
+
+            fg_labels = trainer.label_manager.foreground_labels
+
+            def prev_seg_loader(cid, shape):
+                # previous-stage seg -> one-hot channels on this case's
+                # preprocessed grid (nearest resample if grids differ)
+                with np.load(
+                    os.path.join(args.prev_stage_predictions, f"{cid}.npz")
+                ) as z:
+                    prev = z["seg"]
+                if tuple(prev.shape) != tuple(shape):
+                    prev = resample_to_shape(
+                        prev.astype(np.float32), shape, order=0
+                    ).astype(np.int32)
+                return np.stack(
+                    [prev == l for l in fg_labels], axis=0
+                ).astype(np.float32)
+
         predict_raw_folder(
             predictor,
             args.dataset_folder,
@@ -259,6 +289,7 @@ def main(argv=None):
             trainer.configuration_manager,
             dataset_json,
             cases=args.cases,
+            prev_seg_loader=prev_seg_loader,
         )
         return
 

@@ -131,6 +131,14 @@ def make_eval_step(
         logits = outs[0]
         num_classes = logits.shape[-1] if cl else logits.shape[1]
         seg = batch["seg"]
+        # ignore_label voxels contribute nothing to the hard-Dice statistics
+        # (nnU-Net validation_step masks get_tp_fp_fn_tn the same way); the
+        # loss above already masks via loss_spec.ignore_label
+        valid = (
+            None
+            if loss_spec.ignore_label is None
+            else seg != loss_spec.ignore_label
+        )
         tp, fp, fn = [], [], []
         if loss_spec.regions is not None:
             # region mode: sigmoid > 0.5 per channel (logit > 0)
@@ -141,6 +149,8 @@ def make_eval_step(
             for i in range(len(loss_spec.regions)):
                 p = (logits[..., i] if cl else logits[:, i]) > 0
                 g = gt[..., i]
+                if valid is not None:
+                    p, g = p & valid, g & valid
                 tp.append(jnp.sum(p & g, axis=axes))
                 fp.append(jnp.sum(p & ~g, axis=axes))
                 fn.append(jnp.sum(~p & g, axis=axes))
@@ -150,6 +160,8 @@ def make_eval_step(
             for c in range(1, num_classes):
                 p = pred == c
                 g = seg == c
+                if valid is not None:
+                    p, g = p & valid, g & valid
                 tp.append(jnp.sum(p & g, axis=axes))
                 fp.append(jnp.sum(p & ~g, axis=axes))
                 fn.append(jnp.sum(~p & g, axis=axes))
@@ -164,5 +176,12 @@ def make_eval_step(
 
 
 def pseudo_dice(tp, fp, fn) -> jnp.ndarray:
-    """Global per-class Dice from aggregated statistics (nan-free)."""
-    return (2 * tp) / jnp.clip(2 * tp + fp + fn, min=1e-8)
+    """Global per-class Dice from aggregated statistics.
+
+    A class absent from both prediction and GT (denominator 0) is NaN, like
+    nnU-Net's 0/0 — the trainer's np.nanmean then skips it instead of a
+    spurious 0 dragging the EMA (and checkpoint_best selection) down."""
+    denom = 2 * tp + fp + fn
+    return jnp.where(
+        denom > 0, (2 * tp) / jnp.clip(denom, min=1e-8), jnp.nan
+    )

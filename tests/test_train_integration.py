@@ -269,3 +269,101 @@ def test_pretrained_weights_restore(synth_folder, tmp_path):
     assert report4["loaded"]
     assert all("seg_head" in n or "head" in n for n in report4["skipped_shape"])
     assert report4["skipped_shape"], "expected mismatched seg heads"
+
+
+def test_2d_config_validates_3d_volumes(tmp_path):
+    """A 2d configuration trained on volumetric data must predict full
+    volumes slice-by-slice at validation (nnU-Net's 2d-on-3d inference) —
+    build_predictor used to crash on the rank mismatch."""
+    folder = str(tmp_path / "synth3d")
+    make_synthetic_dataset(
+        folder, n_cases=4, shape=(6, 48, 48), num_classes=3, seed=5
+    )
+    out = str(tmp_path / "run")
+    trainer = _make_trainer(
+        "nnUNetTrainer_NexToU", folder, out,
+        num_epochs=1, num_iterations_per_epoch=2,
+        num_val_iterations_per_epoch=1,
+    )
+    trainer.loader_threads = 1
+    trainer.run_training()
+    summary = trainer.perform_actual_validation(save_probabilities=True)
+    assert summary["metric_per_case"]
+    # the saved probabilities must be volumetric: (Z, H, W, C)
+    import glob
+    npzs = glob.glob(os.path.join(out, "validation", "*.npz"))
+    assert npzs
+    with np.load(npzs[0]) as z:
+        assert z["probabilities"].shape == (6, 48, 48, 3)
+
+
+def test_sampler_uniform_center_reaches_last_position(tmp_path):
+    """Uniform center sampling must include the LAST valid patch position
+    (rng.integers' exclusive bound used to drop it, so the trailing plane
+    was never seen outside fg-forced patches)."""
+    from nextou_tpu.data.dataset import Case
+    from nextou_tpu.data.sampler import PatchSampler
+
+    case = Case(
+        data=np.zeros((1, 65, 64), np.float32),
+        seg=np.zeros((65, 64), np.int16),
+        class_locations={},
+        properties={},
+    )
+
+    class _DS:
+        case_ids = ["c"]
+
+        def load(self, cid):
+            return case
+
+    s = PatchSampler(_DS(), (64, 64), batch_size=1,
+                     oversample_foreground_percent=0.0, seed=0)
+    centers = {
+        int(s._sample_center(case, force_fg=False)[0]) for _ in range(200)
+    }
+    assert centers == {32, 33}  # both valid starts (0 and 1) drawn
+
+
+def test_loader_surfaces_producer_errors(tmp_path):
+    """A producer-thread exception must surface as RuntimeError from
+    __next__, not hang training forever on an empty queue."""
+    from nextou_tpu.data.loader import PatchDataLoader
+
+    class _BoomSampler:
+        def sample_batch(self, rng=None):
+            raise ValueError("corrupt case")
+
+    loader = PatchDataLoader(_BoomSampler(), augment=None, num_threads=2)
+    import pytest as _pytest
+    with loader:
+        with _pytest.raises(RuntimeError, match="producer thread failed"):
+            next(iter(loader))
+
+
+def test_gaussian_noise_std_matches_batchgenerators(tmp_path):
+    """The value drawn from noise_variance is np.random.normal's *scale*
+    (std) in batchgenerators, despite the name — both DA paths must apply
+    it un-sqrt'd."""
+    from nextou_tpu.data.augment import AugmentConfig, _intensity
+
+    cfg = AugmentConfig(
+        p_noise=1.0, noise_variance=(0.1, 0.1), p_blur=0.0,
+        p_brightness=0.0, p_contrast=0.0, p_lowres=0.0,
+        p_gamma_invert=0.0, p_gamma=0.0,
+    )
+    rng = np.random.default_rng(0)
+    data = np.zeros((1, 64, 64), np.float32)
+    noised = _intensity(data.copy(), cfg, rng)
+    assert abs(float(noised.std()) - 0.1) < 0.02  # std=0.1, not sqrt(0.1)
+
+
+def test_pseudo_dice_absent_class_is_nan():
+    """0/0 (class absent from prediction AND GT) must be NaN like nnU-Net,
+    so nanmean skips it instead of a spurious 0 deflating the EMA."""
+    from nextou_tpu.train.train_step import pseudo_dice
+
+    d = np.asarray(pseudo_dice(
+        jnp.asarray([0, 5]), jnp.asarray([0, 1]), jnp.asarray([0, 2])
+    ))
+    assert np.isnan(d[0]) and abs(d[1] - 10 / 13) < 1e-6
