@@ -104,7 +104,9 @@ def knn_schedule(img_min_shape: Sequence[int], n_stages: int, spatial_dims: int)
     max_num = v // spatial_dims  # //2 in 2D, //3 in 3D
     candidates = [2, 4, 8, 16, 32]
     max_k = min(candidates, key=lambda c: abs(c - max_num))
-    min_k = max_num // (2**spatial_dims)
+    # clamp >= 1: a tiny bottleneck (v < dims * 2^dims) would floor-divide to
+    # min_k = 0, making every k 0 and max_dilation a ZeroDivisionError
+    min_k = max(1, max_num // (2**spatial_dims))
     mults = [1, 2, 2, 4, 8]
     base = [min(min_k * m, max_k) for m in mults]
     if n_stages >= 5:

@@ -69,6 +69,19 @@ def conv_he_normal(key, shape, dtype=jnp.float32):
     return _sample_normal(key, shape, dtype, std)
 
 
+def transp_conv_he_normal(key, shape, dtype=jnp.float32):
+    """He-normal for TRANSPOSED-conv kernels shaped (*spatial, Cin, Cout).
+
+    torch's kaiming_normal_ (the reference's InitWeights_He) computes
+    fan_in from dim 1 of the (Cin, Cout, *k) ConvTranspose weight, i.e.
+    ``Cout * prod(k)`` — NOT Cin * prod(k) like a forward conv."""
+    fan_in = shape[-1]
+    for a in shape[:-2]:
+        fan_in *= a
+    std = (HE_GAIN_SQ / fan_in) ** 0.5
+    return _sample_normal(key, shape, dtype, std)
+
+
 class FoldedConv(nn.Module):
     """Conv with trivial leading spatial axes folded into the batch.
 
@@ -205,7 +218,8 @@ class ShuffleConvTranspose(nn.Module):
         k = tuple(self.kernel_size)
         s = tuple(self.strides)
         kernel = self.param(
-            "kernel", conv_he_normal, (*k, x.shape[-1], self.features), jnp.float32
+            "kernel", transp_conv_he_normal,
+            (*k, x.shape[-1], self.features), jnp.float32,
         )
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)

@@ -95,10 +95,14 @@ def extract_fingerprint(
         seg, _ = read_image(
             os.path.join(raw_folder, "labelsTr", f"{cid}{ending}")
         )
+        # volumes stored 4D with a singleton leading axis pass
+        # verify_dataset_integrity (same squeeze there) and must not grow a
+        # phantom spatial axis in the fingerprint
+        seg = seg[0] if seg.ndim == 4 else seg
         chans, spacing = [], None
         for p in _image_paths(raw_folder, cid, n_channels, ending):
             arr, sp = read_image(p)
-            chans.append(arr)
+            chans.append(arr[0] if arr.ndim == 4 else arr)
             spacing = sp or spacing
         images = np.stack(chans)
         if not spacing:

@@ -118,4 +118,14 @@ def verify_dataset_integrity(
             problems.append(
                 f"{cid}: seg shape {tuple(seg.shape)} != image {ref_shape}"
             )
+        seg_sp = _seg_spacing or None
+        if (
+            ref_spacing is not None
+            and seg_sp is not None
+            and len(seg_sp) == len(ref_spacing)
+            and not np.allclose(seg_sp, ref_spacing, rtol=1e-3)
+        ):
+            problems.append(
+                f"{cid}: seg spacing {seg_sp} != image {ref_spacing}"
+            )
     return problems

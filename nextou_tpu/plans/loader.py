@@ -11,7 +11,6 @@ unchanged. Mirrors the public surface of nnU-Net's ``PlansManager`` /
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from functools import cached_property
@@ -160,6 +159,14 @@ class LabelManager:
         order = self.dataset_json.get("regions_class_order")
         if order is not None:
             return [int(x) for x in order]
+        if self.has_regions:
+            # nnU-Net requires it with list-valued labels; a silent
+            # foreground_labels fallback can mismatch the region-channel
+            # count and paint wrong label values
+            raise ValueError(
+                "dataset.json defines region-based labels but no "
+                "regions_class_order"
+            )
         return self.foreground_labels
 
     @property

@@ -21,7 +21,6 @@ pools [4,5,5] / batch 2 (3d_fullres) and patch [512,448] / batch 14 (2d)
 from __future__ import annotations
 
 import math
-from copy import deepcopy
 from typing import Any, Sequence
 
 import numpy as np
@@ -57,12 +56,15 @@ def determine_fullres_target_spacing(
     if other:
         other_sp = [target[i] for i in other]
         other_sz = [target_size[i] for i in other]
-        aniso_spacing = target[worst] > ANISO_THRESHOLD * min(other_sp)
+        # nnU-Net v2 compares against max(other_spacings) (and min of the
+        # other *sizes*); the clamp likewise never lets the worst axis end
+        # up finer than the coarsest remaining axis
+        aniso_spacing = target[worst] > ANISO_THRESHOLD * max(other_sp)
         aniso_voxels = target_size[worst] * ANISO_THRESHOLD < min(other_sz)
         if aniso_spacing and aniso_voxels:
             t = float(np.percentile(spacings[:, worst], 10))
-            if t < min(other_sp):
-                t = max(min(other_sp), t) + 1e-5
+            if t < max(other_sp):
+                t = max(max(other_sp), t) + 1e-5
             target[worst] = t
     return [float(t) for t in target]
 
@@ -294,8 +296,10 @@ def nextou_overlay(
     for ax, (p, d) in enumerate(zip(config["patch_size"], divisible)):
         grown = p + d
         m = median_shape[ax]
-        # only grow in-plane axes with room in the median image
-        if ax > 0 and grown <= math.ceil(m / d) * d:
+        # only grow in-plane axes with room in the median image: in 3D the
+        # leading (z / worst-spacing) axis stays, in 2D both axes are
+        # in-plane and may grow
+        if (dim == 2 or ax > 0) and grown <= math.ceil(m / d) * d:
             patch.append(int(grown))
         else:
             patch.append(int(p))
@@ -411,13 +415,17 @@ def plan_experiment(
             float(np.prod(lr_shape)) / float(np.prod(cfg_lr["patch_size"]))
             > 1.0 / LOWRES_PATCH_COVERAGE
         ):
-            mx, mn = max(lr_spacing), min(lr_spacing)
-            if mx / mn >= 2:
+            mx = max(lr_spacing)
+            finer = [s < mx / 2 for s in lr_spacing]
+            if any(finer):
                 # only coarsen the finer axes until roughly isotropic
                 lr_spacing = [
-                    s * 1.01 if s < mx / 2 else s for s in lr_spacing
+                    s * 1.01 if f else s for s, f in zip(lr_spacing, finer)
                 ]
             else:
+                # no axis is under half the max (incl. ratio EXACTLY 2):
+                # coarsen all, or the loop never makes progress (nnU-Net's
+                # any/else structure)
                 lr_spacing = [s * 1.01 for s in lr_spacing]
             lr_shape = [
                 m * t / s

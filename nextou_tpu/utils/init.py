@@ -73,6 +73,14 @@ def _materialize_leaf(path, leaf, rng: np.random.Generator):
         return np.zeros(shape, dtype)
 
     if name == "kernel":
+        parent = str(path[-2].key if hasattr(path[-2], "key") else path[-2])
+        if "transpconv" in parent:
+            # torch kaiming fan_in for ConvTranspose weights (Cin, Cout, *k)
+            # is Cout*prod(k) — keep fast_init == the flax init path
+            # (nn/layers.py::transp_conv_he_normal)
+            fan_in = shape[-1] * math.prod(shape[:-2])
+            return ((HE_GAIN_SQ / fan_in) ** 0.5
+                    * rng.standard_normal(shape)).astype(dtype)
         return (_he_std(shape) * rng.standard_normal(shape)).astype(dtype)
     if name == "alpha":  # PReLU slope, reference act_layer default neg_slope
         return np.full(shape, 1e-2, dtype)

@@ -69,3 +69,13 @@ def test_detects_shape_mismatch(tmp_path):
 def test_region_labels_accepted(tmp_path):
     _make_raw(tmp_path, labels={"background": 0, "whole": [1, 2], "core": [2]})
     assert verify_dataset_integrity(str(tmp_path)) == []
+
+
+def test_detects_seg_spacing_mismatch(tmp_path):
+    folder = _make_raw(tmp_path)
+    # rewrite one label with a different spacing (same grid, wrong header)
+    seg = np.zeros((6, 8, 7), np.int16)
+    write_nifti(str(tmp_path / "labelsTr" / "case_0.nii.gz"),
+                seg, spacing=(1.0, 1.0, 5.0))
+    problems = verify_dataset_integrity(str(folder))
+    assert any("seg spacing" in p for p in problems)

@@ -369,3 +369,36 @@ def test_instance_norm_onepass_matches(monkeypatch):
         got = mod.apply(v, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=atol, rtol=1e-4)
+
+
+def test_transp_conv_init_matches_torch_fan_in():
+    """ShuffleConvTranspose init std must use torch's ConvTranspose fan_in
+    (Cout * prod(k), dim 1 of the (Cin, Cout, *k) weight), and fast_init
+    must agree with the flax init path."""
+    import torch
+    import flax.linen as nn
+
+    from nextou_tpu.nn.layers import ShuffleConvTranspose
+    from nextou_tpu.utils import fast_init
+
+    cin, cout, k = 64, 32, (2, 2, 2)
+    x = jnp.zeros((1, 4, 4, 4, cin), jnp.float32)
+
+    class _Wrap(nn.Module):  # the model always nests it under 'transpconv'
+        @nn.compact
+        def __call__(self, x):
+            return ShuffleConvTranspose(
+                features=cout, kernel_size=k, strides=k, name="transpconv"
+            )(x)
+
+    mod = _Wrap()
+    flax_std = float(np.std(np.asarray(
+        mod.init(jax.random.PRNGKey(0), x)["params"]["transpconv"]["kernel"])))
+    fast_std = float(np.std(np.asarray(
+        fast_init(mod, 0, x)["params"]["transpconv"]["kernel"])))
+
+    w = torch.empty(cin, cout, *k)
+    torch.nn.init.kaiming_normal_(w, a=1e-2)
+    want = float(w.std())
+    assert abs(flax_std - want) / want < 0.10, (flax_std, want)
+    assert abs(fast_std - want) / want < 0.10, (fast_std, want)

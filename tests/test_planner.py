@@ -168,3 +168,58 @@ def test_pool_props_2d_single_axis_rule():
     )
     assert num_pool == [6, 6]
     assert patch == [512, 448]
+
+
+def test_aniso_uses_max_of_other_spacings():
+    """nnU-Net compares the worst axis against max(other_spacings): z twice
+    as coarse as the coarser in-plane axis but < 3x it is NOT anisotropic,
+    even when it is > 3x the finer one (min-based detection over-fired)."""
+    sp = np.array([[3.0, 0.5, 1.1]] * 10)
+    sh = np.array([[40, 500, 480]] * 10)
+    assert determine_fullres_target_spacing(sp, sh) == [3.0, 0.5, 1.1]
+    # truly anisotropic (median > 3x max(other)) with a 10th percentile
+    # finer than the other axes: the clamp never lets the worst axis go
+    # below max(other_spacings)
+    z = [0.5, 0.6] + [4.0] * 8
+    sp = np.array([[zi, 0.5, 1.1] for zi in z])
+    t = determine_fullres_target_spacing(sp, sh)
+    assert t[0] == pytest.approx(1.1 + 1e-5)
+
+
+def test_lowres_spacing_loop_terminates_at_ratio_two(tmp_path):
+    """Spacing ratio exactly 2 (e.g. 5.0 vs 2.5, a common CT protocol) used
+    to make the lowres coarsening loop a no-op forever; nnU-Net's any/else
+    structure coarsens all axes in that case."""
+    from nextou_tpu.plans.planner import plan_experiment
+
+    n = 12
+    fp = {
+        "spacings": [[5.0, 2.5, 2.5]] * n,
+        "shapes_after_crop": [[96, 512, 512]] * n,
+        "n_cases": n,
+        "channel_names": {"0": "CT"},
+        "normalization_schemes": ["ZScoreNormalization"],
+        "use_mask_for_norm": [False],
+        "foreground_intensity_properties_per_channel": {},
+        "relative_size_after_cropping": [1.0] * n,
+    }
+    plans = plan_experiment(fp, {"labels": {"background": 0, "a": 1},
+                                 "numTraining": n,
+                                 "channel_names": {"0": "CT"}})
+    assert "3d_lowres" in plans["configurations"]  # and we got here at all
+
+
+def test_nextou_overlay_grows_both_2d_axes():
+    """In 2D both axes are in-plane: the overlay may grow axis 0 too (the
+    ax>0 guard is for the 3D z-axis only)."""
+    from nextou_tpu.plans.planner import nextou_overlay
+
+    cfg = {
+        "patch_size": [512, 448],
+        "pool_op_kernel_sizes": [[1, 1]] + [[2, 2]] * 6,
+        "num_pool_per_axis": [6, 6],
+        "UNet_base_num_features": 32,
+        "unet_max_num_features": 512,
+    }
+    out = nextou_overlay(cfg, "2d", median_shape=[4000, 4000])
+    assert out["patch_size"] == [512 + 64, 448 + 64]

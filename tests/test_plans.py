@@ -66,3 +66,15 @@ def test_circular_inheritance_raises():
     )
     with pytest.raises(ValueError, match="circular"):
         pm.get_configuration("a")
+
+
+def test_regions_without_class_order_is_an_error():
+    """Region-based labels without regions_class_order must fail fast
+    (nnU-Net requires it; a foreground_labels fallback can mismatch the
+    region-channel count)."""
+    from nextou_tpu.plans.loader import LabelManager
+
+    lm = LabelManager({"labels": {"background": 0, "whole": [1, 3]}})
+    assert lm.has_regions
+    with pytest.raises(ValueError, match="regions_class_order"):
+        lm.regions_class_order
