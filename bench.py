@@ -88,15 +88,14 @@ def main():
     from nextou_tpu.utils import fast_init
     from nextou_tpu.utils.timing import device_loop_time
 
+    vol_shape = VOL_SHAPE
     if os.environ.get("NEXTOU_BENCH_PRESET", "flagship") == "small":
         # CPU smoke test of the bench flow itself (tiny spec, tiny volume);
         # never the shipped headline
         from nextou_tpu.models.presets import small_3d_spec
 
         spec = small_3d_spec(deep_supervision=False)
-        globals()["VOL_SHAPE"] = tuple(
-            int(p * 1.25) for p in spec.patch_size
-        )
+        vol_shape = tuple(int(p * 1.25) for p in spec.patch_size)
     else:
         spec = flagship_3d_spec(deep_supervision=False)
     model = NexToU(spec=spec, dtype=jnp.bfloat16)
@@ -141,17 +140,17 @@ def main():
     )
     vol = (
         np.random.default_rng(0)
-        .standard_normal((*VOL_SHAPE, spec.in_channels))
+        .standard_normal((*vol_shape, spec.in_channels))
         .astype(np.float32)
     )
     from nextou_tpu.infer.sliding_window import compute_sliding_window_steps
 
-    steps = compute_sliding_window_steps(VOL_SHAPE, spec.patch_size, 0.5)
+    steps = compute_sliding_window_steps(vol_shape, spec.patch_size, 0.5)
     n_tiles = 1
     for ax in steps:
         n_tiles *= len(ax)
     seg = np.asarray(predictor(vol))  # compile + warm
-    assert seg.shape == VOL_SHAPE, seg.shape
+    assert seg.shape == vol_shape, seg.shape
     _log(f"sliding-window compile+warm ({n_tiles} tiles/volume)")
     times = []
     for _ in range(3):

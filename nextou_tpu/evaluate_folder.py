@@ -18,8 +18,22 @@ import os
 import numpy as np
 
 
+SEG_EXTS = (".npz", ".nii.gz", ".nii", ".npy")
+
+
+def _seg_ids(folder: str) -> set[str]:
+    """Case ids of every segmentation file (any supported extension)."""
+    out = set()
+    for f in os.listdir(folder):
+        for e in SEG_EXTS:
+            if f.endswith(e):
+                out.add(f[: -len(e)])
+                break
+    return out
+
+
 def _load_seg(folder: str, case_id: str) -> np.ndarray:
-    for ext in (".npz", ".nii.gz", ".nii", ".npy"):
+    for ext in SEG_EXTS:
         path = os.path.join(folder, case_id + ext)
         if os.path.exists(path):
             if ext == ".npz":
@@ -47,29 +61,21 @@ def main(argv=None):
 
     from nextou_tpu.infer.evaluate import evaluate_cases
 
-    exts = (".npz", ".nii.gz", ".nii", ".npy")
-
-    def ids(folder):
-        out = set()
-        for f in os.listdir(folder):
-            for e in exts:
-                if f.endswith(e):
-                    out.add(f[: -len(e)])
-                    break
-        return out
-
-    case_ids = sorted(ids(args.ref_folder) & ids(args.pred_folder))
+    case_ids = sorted(_seg_ids(args.ref_folder) & _seg_ids(args.pred_folder))
     if not case_ids:
         raise SystemExit(
             f"no common cases between {args.ref_folder} and {args.pred_folder}"
         )
 
     if args.dataset_json:
+        from nextou_tpu.plans.loader import LabelManager
+
         with open(args.dataset_json) as f:
             dj = json.load(f)
-        labels = sorted(
-            {int(v) for v in dj["labels"].values() if not isinstance(v, list)}
-        )
+        # LabelManager.all_labels flattens region (list-valued) labels —
+        # a skip-lists comprehension would evaluate only background on
+        # region-based datasets
+        labels = LabelManager(dj).all_labels
     else:
         labels = None
 

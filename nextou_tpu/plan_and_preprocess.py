@@ -65,9 +65,17 @@ def preprocess_dataset(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    def one_case(config_name, cm, dest, cid):
-        dim = cm.spatial_dims
-        target = cm.spacing
+    cfgs = []
+    for config_name in configurations:
+        cm = pm.get_configuration(config_name)
+        dest = os.path.join(out_folder, cm.data_identifier or config_name)
+        os.makedirs(dest, exist_ok=True)
+        cfgs.append((config_name, cm, dest))
+
+    def one_case(cid):
+        # read (and gunzip) the raw volumes ONCE, then preprocess for every
+        # configuration — per-(config, case) tasks paid the decompression
+        # len(configurations) times
         seg, _ = read_image(
             os.path.join(raw_folder, "labelsTr", f"{cid}{ending}")
         )
@@ -86,35 +94,28 @@ def preprocess_dataset(
             data = np.transpose(data, [0] + [f + 1 for f in fwd])
             seg = np.transpose(seg, fwd)
             spacing = [spacing[f] for f in fwd]
-        # 2d configs resample in-plane only; keep the leading axis
-        tgt = list(target)
-        if dim == 2 and seg.ndim == 3:
-            tgt = [spacing[0]] + tgt
-        pdata, pseg, props = preprocess_case(
-            data,
-            seg,
-            spacing,
-            tgt,
-            use_mask_for_norm=cm.use_mask_for_norm,
-            normalization_schemes=cm.normalization_schemes,
-            intensity_props=intensity,
-        )
-        save_case(dest, cid, pdata, pseg, properties=props)
-        if verbose:
-            print(f"[{config_name}] {cid}: {pdata.shape}", flush=True)
+        for config_name, cm, dest in cfgs:
+            # 2d configs resample in-plane only; keep the leading axis
+            tgt = list(cm.spacing)
+            if cm.spatial_dims == 2 and seg.ndim == 3:
+                tgt = [spacing[0]] + tgt
+            pdata, pseg, props = preprocess_case(
+                data,
+                seg,
+                spacing,
+                tgt,
+                use_mask_for_norm=cm.use_mask_for_norm,
+                normalization_schemes=cm.normalization_schemes,
+                intensity_props=intensity,
+            )
+            save_case(dest, cid, pdata, pseg, properties=props)
+            if verbose:
+                print(f"[{config_name}] {cid}: {pdata.shape}", flush=True)
 
     # worker threads stand in for nnU-Net's preprocessing process pool
     # (scipy/np release the GIL for the heavy resampling)
     with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
-        futures = []
-        for config_name in configurations:
-            cm = pm.get_configuration(config_name)
-            dest = os.path.join(out_folder, cm.data_identifier or config_name)
-            os.makedirs(dest, exist_ok=True)
-            for cid in case_ids:
-                futures.append(
-                    ex.submit(one_case, config_name, cm, dest, cid)
-                )
+        futures = [ex.submit(one_case, cid) for cid in case_ids]
         for f in futures:
             f.result()
 
@@ -164,9 +165,8 @@ def main(argv=None):
         args.raw_folder, dataset_json, max_cases=args.max_cases
     )
     os.makedirs(args.output, exist_ok=True)
-    fp_out = {k: v for k, v in fp.items()}
     with open(os.path.join(args.output, "dataset_fingerprint.json"), "w") as f:
-        json.dump(fp_out, f, indent=2)
+        json.dump(fp, f, indent=2)
     if args.fingerprint_only:
         return
 

@@ -78,13 +78,9 @@ def _load(folder: str, cid: str) -> np.ndarray:
 
 
 def _ids(folder: str) -> set[str]:
-    out = set()
-    for f in os.listdir(folder):
-        for e in (".npz", ".nii.gz", ".nii", ".npy"):
-            if f.endswith(e):
-                out.add(f[: -len(e)])
-                break
-    return out
+    from nextou_tpu.evaluate_folder import _seg_ids
+
+    return _seg_ids(folder)
 
 
 def main(argv=None):

@@ -244,6 +244,13 @@ def main(argv=None):
     trainer = trainers[0]
 
     if args.raw:
+        if args.save_probabilities:
+            raise SystemExit(
+                "--save-probabilities is not supported with --raw (raw mode "
+                "writes NIfTI segmentations at the original geometry; "
+                "ensembling inputs need predictions on the preprocessed "
+                "grid — run predict on the preprocessed folder instead)"
+            )
         from nextou_tpu.infer.raw import predict_raw_folder
 
         mesh = None
@@ -337,6 +344,16 @@ def main(argv=None):
                 os.path.join(args.prev_stage_predictions, f"{cid}.npz")
             ) as z:
                 prev = z["seg"]
+            prev = np.squeeze(prev) if prev.ndim == data.ndim else prev
+            if tuple(prev.shape) != tuple(data.shape[:-1]):
+                # plain `predict` outputs live on the PREVIOUS stage's grid
+                # (unlike predict_next_stage's, already resampled): nearest-
+                # resample here like the --raw path does
+                from nextou_tpu.data.preprocessing import resample_to_shape
+
+                prev = resample_to_shape(
+                    prev.astype(np.float32), data.shape[:-1], order=0
+                ).astype(np.int32)
             hot = np.stack([prev == l for l in fg_labels], axis=-1)
             data = np.concatenate([data, hot.astype(np.float32)], axis=-1)
         probs = predictor(data)

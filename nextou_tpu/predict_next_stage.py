@@ -33,6 +33,15 @@ def main(argv=None):
     ap.add_argument("-tr", "--trainer", default="nnUNetTrainer_NexToU")
     ap.add_argument("-chk", default="checkpoint_final.ckpt")
     ap.add_argument("--tile-batch", type=int, default=2)
+    ap.add_argument(
+        "-f", "--folds", nargs="*", default=None,
+        help="predict each fold's VALIDATION cases with that fold's "
+             "checkpoint (out-of-fold, nnU-Net semantics; together the 5 "
+             "folds cover every training case). Without -f, the single "
+             "given checkpoint predicts ALL cases — its own training split "
+             "in-fold, which makes the cascade's prev channel unrealistically "
+             "good at train time (a warning is printed).",
+    )
     args = ap.parse_args(argv)
 
     from nextou_tpu.data import PreprocessedDataset
@@ -44,38 +53,81 @@ def main(argv=None):
     dataset_json = load_dataset_json(args.dataset_folder)
     plans_path = os.path.join(args.dataset_folder, "nnUNetPlans.json")
     cls = get_trainer_class(args.trainer)
-    trainer = cls(
-        plans_path, args.configuration, 0, dataset_json,
-        preprocessed_folder=args.dataset_folder,
-        output_folder=args.model_folder,
-    )
-    trainer.load_checkpoint(os.path.join(args.model_folder, args.chk))
 
-    def data_dir(config_name: str) -> str:
-        cm = trainer.plans_manager.get_configuration(config_name)
-        sub = os.path.join(args.dataset_folder, cm.data_identifier or config_name)
-        return sub if os.path.isdir(sub) else args.dataset_folder
+    if args.folds:
+        from nextou_tpu.predict import _fold_model_folders
 
-    src = PreprocessedDataset(data_dir(args.configuration))
-    dst_dir = data_dir(args.next_config)
-    out_dir = os.path.join(
-        args.dataset_folder, "predicted_next_stage", args.configuration
-    )
-    os.makedirs(out_dir, exist_ok=True)
-
-    predictor = build_predictor(trainer, tile_batch=args.tile_batch)
-    for cid in src.case_ids:
-        case = src.load(cid)
-        probs = predictor(np.moveaxis(case.data, 0, -1))
-        seg = np.argmax(probs, axis=-1).astype(np.int16)
-        # resample onto the next stage's preprocessed grid (order 0)
-        with np.load(os.path.join(dst_dir, f"{cid}.npz")) as z:
-            target_shape = z["seg"].shape
-        seg_up = resample_to_shape(seg, target_shape, is_seg=True)
-        np.savez_compressed(
-            os.path.join(out_dir, f"{cid}.npz"), seg=seg_up.astype(np.int16)
+        jobs = list(zip(args.folds, _fold_model_folders(
+            args.model_folder, args.folds)))
+    else:
+        print(
+            "WARNING: no -f given — predicting every case with this one "
+            "checkpoint; its own training split is predicted IN-fold, so "
+            "the cascade's prev channel will look unrealistically good at "
+            "train time. Pass -f 0 1 2 3 4 for nnU-Net's out-of-fold "
+            "semantics."
         )
-        print(f"{cid}: {seg.shape} -> {seg_up.shape}")
+        jobs = [(None, args.model_folder)]
+
+    out_dir = None
+    for fold, folder in jobs:
+        trainer = cls(
+            plans_path, args.configuration,
+            0 if fold is None else fold, dataset_json,
+            preprocessed_folder=args.dataset_folder,
+            output_folder=folder,
+        )
+        trainer.load_checkpoint(os.path.join(folder, args.chk))
+
+        def data_dir(config_name: str) -> str:
+            cm = trainer.plans_manager.get_configuration(config_name)
+            sub = os.path.join(
+                args.dataset_folder, cm.data_identifier or config_name
+            )
+            return sub if os.path.isdir(sub) else args.dataset_folder
+
+        src = PreprocessedDataset(data_dir(args.configuration))
+        dst_dir = data_dir(args.next_config)
+        out_dir = os.path.join(
+            args.dataset_folder, "predicted_next_stage", args.configuration
+        )
+        os.makedirs(out_dir, exist_ok=True)
+
+        if fold is None:
+            case_ids = src.case_ids
+        else:
+            # out-of-fold: this fold's checkpoint predicts its own
+            # validation cases only
+            _, val_ds = trainer.get_split()
+            case_ids = val_ds.case_ids
+
+        # label mode: argmax on device, ship int16 (predict.py's own
+        # optimization); region mode needs the sigmoid channels + the
+        # regions_class_order painting — plain argmax over region channels
+        # would store region indices, not labels
+        want_seg = not trainer.label_manager.has_regions
+        predictor = build_predictor(
+            trainer, tile_batch=args.tile_batch,
+            output="seg" if want_seg else "probs",
+        )
+        for cid in case_ids:
+            case = src.load(cid)
+            out = predictor(np.moveaxis(case.data, 0, -1))
+            seg = (
+                out.astype(np.int16)
+                if want_seg
+                else trainer.label_manager.convert_probabilities_to_segmentation(out)
+            )
+            # resample onto the next stage's preprocessed grid (order 0)
+            with np.load(os.path.join(dst_dir, f"{cid}.npz")) as z:
+                target_shape = z["seg"].shape
+            seg_up = resample_to_shape(seg, target_shape, is_seg=True)
+            np.savez_compressed(
+                os.path.join(out_dir, f"{cid}.npz"),
+                seg=seg_up.astype(np.int16),
+            )
+            tag = "" if fold is None else f" (fold {fold})"
+            print(f"{cid}{tag}: {seg.shape} -> {seg_up.shape}")
     print("done:", out_dir)
 
 
