@@ -209,3 +209,42 @@ def test_step_size_and_disable_tta_cli_knobs(tmp_path):
     assert len(dense[0]) > len(sparse[0]) or len(dense[1]) > len(sparse[1])
     # ends stay aligned so full coverage is preserved
     assert sparse[0][-1] == 64 - 32 and sparse[1][-1] == 96 - 32
+
+
+def test_predict_raw_case_cascade_prev_onehot_loader():
+    """Cascade raw inference: prev_onehot_loader is called with the
+    resampled (preprocessed) grid and its channels reach the predictor
+    appended after the image channels."""
+    from nextou_tpu.infer.raw import predict_raw_case
+
+    img = np.zeros((10, 12, 14), np.float32)
+    img[2:8, 3:10, 4:12] = 1.0
+    seen = {}
+
+    def loader(shape):
+        seen["shape"] = shape
+        hot = np.zeros((2, *shape), np.float32)
+        hot[1] = 1.0
+        return hot
+
+    def predictor(x):
+        seen["in_channels"] = x.shape[-1]
+        # the seg must follow the SECOND one-hot channel (all ones)
+        fg = np.asarray(x[..., -1])
+        return np.stack([1 - fg, fg], axis=-1)
+
+    seg = predict_raw_case(
+        predictor,
+        img[None],
+        spacing=(1.0, 1.0, 1.0),
+        target_spacing=(0.5, 1.0, 1.0),
+        normalization_schemes=["ZScoreNormalization"],
+        use_mask_for_norm=[False],
+        intensity_props=None,
+        prev_onehot_loader=loader,
+    )
+    assert seen["in_channels"] == 3  # 1 image + 2 one-hot channels
+    assert len(seen["shape"]) == 3 and seen["shape"][0] == 12  # 6 crop * 2
+    # prev channel 1 is all-ones -> the whole CROP region is foreground
+    assert seg[2:8, 3:10, 4:12].min() == 1
+    assert seg[0, 0, 0] == 0  # outside the crop stays background
