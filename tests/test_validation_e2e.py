@@ -28,7 +28,7 @@ def test_train_then_validate(tmp_path):
         output_folder=out,
         compute_dtype=jnp.float32,
         remat=False,
-        num_epochs=6,
+        num_epochs=10,
         num_iterations_per_epoch=20,
         num_val_iterations_per_epoch=2,
     )
@@ -43,5 +43,5 @@ def test_train_then_validate(tmp_path):
     with open(path) as f:
         loaded = json.load(f)
     assert loaded["foreground_mean"]["Dice"] == summary["foreground_mean"]["Dice"]
-    # easy blobs + 120 steps: should segment far better than chance
+    # easy blobs + 200 steps: should segment far better than chance
     assert summary["foreground_mean"]["Dice"] > 0.5, summary["mean"]
