@@ -116,18 +116,20 @@ class PatchDataLoader:
         return self
 
     def __next__(self):
-        # poll with a timeout instead of blocking forever: a producer that
-        # died (corrupt case, missing prev-stage file) must surface its
-        # exception here, not hang training mid-epoch
+        # a producer that died (corrupt case, missing prev-stage file) must
+        # surface its exception promptly — checked BEFORE serving the next
+        # batch (a surviving second thread can keep the queue non-empty
+        # forever, which would bury the error), and polled with a timeout
+        # instead of blocking forever on an empty queue.
         while True:
+            if self._errors:
+                self._stop.set()
+                raise RuntimeError(
+                    "PatchDataLoader producer thread failed"
+                ) from self._errors[0]
             try:
                 return self._q.get(timeout=1.0)
             except queue.Empty:
-                if self._errors:
-                    self._stop.set()
-                    raise RuntimeError(
-                        "PatchDataLoader producer thread failed"
-                    ) from self._errors[0]
                 if self._threads and not any(
                     t.is_alive() for t in self._threads
                 ):

@@ -72,10 +72,10 @@ def main(argv=None):
 
         with open(args.dataset_json) as f:
             dj = json.load(f)
-        # LabelManager.all_labels flattens region (list-valued) labels —
-        # a skip-lists comprehension would evaluate only background on
-        # region-based datasets
-        labels = LabelManager(dj).all_labels
+        # region datasets are evaluated per region mask (nnU-Net
+        # semantics); plain datasets per integer label
+        lm = LabelManager(dj)
+        labels = lm.foreground_regions if lm.has_regions else lm.all_labels
     else:
         labels = None
 

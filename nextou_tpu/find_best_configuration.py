@@ -54,6 +54,11 @@ def _ensemble_candidates(results: list[dict], dataset_folder: str) -> list[dict]
             if f.endswith(".npz")
         }
 
+
+    def _eval_labels(lm):
+        # region datasets rank by per-region Dice, like nnU-Net's find_best
+        return lm.foreground_regions if lm.has_regions else lm.all_labels
+
     probmaps = {r["folder"]: _prob_cases(r["folder"]) for r in results}
     pairs = []
     for a, b in itertools.combinations(results, 2):
@@ -124,7 +129,7 @@ def _ensemble_candidates(results: list[dict], dataset_folder: str) -> list[dict]
                 gt = _gt_matching(cid, np.shape(seg), gt_cache)
                 p["metrics"].append(
                     {"case": cid,
-                     "metrics": case_metrics(seg, gt, p["lm"].all_labels)}
+                     "metrics": case_metrics(seg, gt, _eval_labels(p["lm"]))}
                 )
             except Exception as e:  # noqa: BLE001 — isolate this pair only
                 p["failed"] = f"case {cid}: {type(e).__name__}: {e}"
@@ -137,7 +142,7 @@ def _ensemble_candidates(results: list[dict], dataset_folder: str) -> list[dict]
             continue
         if not p["metrics"]:
             continue
-        summary = summarize_metrics(p["metrics"], p["lm"].all_labels)
+        summary = summarize_metrics(p["metrics"], _eval_labels(p["lm"]))
         out.append(
             {
                 "name": name,

@@ -50,14 +50,34 @@ def hd95(
     return float(np.percentile(dists, 95))
 
 
+def _label_mask(arr: np.ndarray, l) -> np.ndarray:
+    """Membership mask for an int label or a region (tuple of labels)."""
+    if isinstance(l, (tuple, list)):
+        return np.isin(arr, list(l))
+    return arr == l
+
+
+def label_key(l) -> str:
+    """summary.json key: '2' for plain labels, '(1, 2, 3)' for regions
+    (nnU-Net's region keys)."""
+    if isinstance(l, (tuple, list)):
+        if len(l) == 1:
+            return str(int(l[0]))
+        return str(tuple(int(x) for x in l))
+    return str(int(l))
+
+
 def case_metrics(
     pred: np.ndarray, ref: np.ndarray, labels, spacing=None
 ) -> dict[str, dict[str, float]]:
-    """Per-label Dice / IoU / HD95 / TP-FP-FN counts for one case."""
+    """Per-label Dice / IoU / HD95 / TP-FP-FN counts for one case.
+
+    ``labels`` entries may be ints or regions (tuples of ints, evaluated as
+    membership masks — nnU-Net's region-based evaluation)."""
     out = {}
     for l in labels:
-        p = pred == l
-        g = ref == l
+        p = _label_mask(pred, l)
+        g = _label_mask(ref, l)
         tp = int(np.logical_and(p, g).sum())
         fp = int(p.sum()) - tp
         fn = int(g.sum()) - tp
@@ -65,10 +85,11 @@ def case_metrics(
         dice = float("nan") if denom == 0 else 2.0 * tp / denom
         union = tp + fp + fn
         iou = float("nan") if union == 0 else tp / union
-        out[str(int(l))] = {
+        is_bg = not isinstance(l, (tuple, list)) and int(l) == 0
+        out[label_key(l)] = {
             "Dice": dice,
             "IoU": iou,
-            "HD95": hd95(p, g, spacing) if int(l) != 0 else float("nan"),
+            "HD95": float("nan") if is_bg else hd95(p, g, spacing),
             "TP": tp,
             "FP": fp,
             "FN": fn,
@@ -108,12 +129,12 @@ def summarize_metrics(
         return float(np.mean(vals)) if vals else float("nan")
 
     mean = {
-        str(int(l)): {
-            m: _mean(str(int(l)), m) for m in ("Dice", "IoU", "HD95")
+        label_key(l): {
+            m: _mean(label_key(l), m) for m in ("Dice", "IoU", "HD95")
         }
         for l in labels
     }
-    fg_labels = [str(int(l)) for l in labels if int(l) != 0]
+    fg_labels = [label_key(l) for l in labels if label_key(l) != "0"]
     fg_mean = {}
     for m in ("Dice", "IoU", "HD95"):
         vals = [mean[l][m] for l in fg_labels if not np.isnan(mean[l][m])]

@@ -142,7 +142,8 @@ def predict_raw_folder(
             if not os.path.exists(p) and n_ch == 1:
                 p = os.path.join(input_folder, f"{cid}{ending}")
             arr, sp = read_image(p)
-            chans.append(arr)
+            # 4D-singleton storage (same squeeze as integrity/fingerprint)
+            chans.append(arr[0] if arr.ndim == 4 else arr)
             spacing = sp or spacing
         images = np.stack(chans)
         if not spacing:

@@ -79,12 +79,15 @@ def preprocess_dataset(
         seg, _ = read_image(
             os.path.join(raw_folder, "labelsTr", f"{cid}{ending}")
         )
+        # 4D-singleton volumes pass integrity/fingerprint (same squeeze
+        # there) — don't grow a phantom spatial axis here either
+        seg = seg[0] if seg.ndim == 4 else seg
         chans, spacing = [], None
         for c in range(len(channels)):
             arr, sp = read_image(
                 os.path.join(raw_folder, "imagesTr", f"{cid}_{c:04d}{ending}")
             )
-            chans.append(arr)
+            chans.append(arr[0] if arr.ndim == 4 else arr)
             spacing = sp or spacing
         data = np.stack(chans)
         if not spacing:

@@ -475,6 +475,12 @@ class NexToUTrainer:
                 fn = np.sum([jax.device_get(t) for t in fns], axis=0)
                 dice_per_class = np.asarray(pseudo_dice(tp, fp, fn))
                 mean_dice = float(np.nanmean(dice_per_class))
+                if np.isnan(mean_dice):
+                    # every class absent from pred AND GT this epoch (tiny
+                    # smoke datasets): treat as 0 rather than poisoning the
+                    # EMA with NaN (NaN > best is always False, so
+                    # checkpoint_best would never be written again)
+                    mean_dice = 0.0
                 if self.ema_pseudo_dice is None:
                     self.ema_pseudo_dice = mean_dice
                 else:
@@ -599,7 +605,9 @@ class NexToUTrainer:
                 probs
             )
             cases.append((seg, case.seg, cid))
-        labels = self.label_manager.all_labels
+        lm = self.label_manager
+        # region datasets are evaluated per region mask, like nnU-Net
+        labels = lm.foreground_regions if lm.has_regions else lm.all_labels
         summary = evaluate_cases(
             cases,
             labels,

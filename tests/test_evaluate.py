@@ -128,3 +128,25 @@ def test_case_metrics_dice_iou_counts():
     assert ds[1] == pytest.approx(2 / 3)
     # absent-from-both label -> NaN
     assert np.isnan(dice_scores(pred, ref, [7])[7])
+
+
+def test_region_evaluation_membership_masks():
+    """Tuple entries in `labels` are evaluated as region membership masks
+    with nnU-Net-style '(1, 2)' keys (region-based datasets score regions,
+    not individual labels)."""
+    from nextou_tpu.infer.evaluate import evaluate_cases
+
+    pred = np.zeros((6, 6), np.int16)
+    ref = np.zeros((6, 6), np.int16)
+    pred[0:3, :] = 1
+    pred[3:5, :] = 2
+    ref[0:4, :] = 1
+    ref[4:5, :] = 2
+    s = evaluate_cases([(pred, ref, "c0")], [(1, 2), (2,)])
+    # region (1,2): pred rows 0-4 vs ref rows 0-4 -> Dice 1.0
+    assert s["mean"]["(1, 2)"]["Dice"] == 1.0
+    # region (2,): pred rows 3-4 vs ref row 4 -> Dice 2*6/(12+6)
+    assert abs(s["mean"]["2"]["Dice"] - 2 * 6 / 18) < 1e-6
+    assert abs(
+        s["foreground_mean"]["Dice"] - (1.0 + 2 * 6 / 18) / 2
+    ) < 1e-6

@@ -69,7 +69,8 @@ def test_region_training_end_to_end(tmp_path):
     h = trainer.log_history
     assert h[-1]["train_loss"] < h[0]["train_loss"]
     assert np.isfinite(h[-1]["train_loss"])
-    # validation converts region probabilities back to labels
+    # validation converts region probabilities back to labels and scores
+    # PER REGION (nnU-Net semantics): keys are the region tuples
     summary = trainer.perform_actual_validation()
-    assert "1" in summary["mean"] and "2" in summary["mean"]
+    assert "(1, 2)" in summary["mean"] and "2" in summary["mean"]
     assert np.isfinite(summary["foreground_mean"]["Dice"])

@@ -367,3 +367,40 @@ def test_pseudo_dice_absent_class_is_nan():
         jnp.asarray([0, 5]), jnp.asarray([0, 1]), jnp.asarray([0, 2])
     ))
     assert np.isnan(d[0]) and abs(d[1] - 10 / 13) < 1e-6
+
+
+def test_loader_error_surfaces_even_with_surviving_thread():
+    """One dead producer must surface promptly even while a second healthy
+    thread keeps the prefetch queue full (the error check runs before each
+    batch, not only on queue-empty)."""
+    import threading
+
+    from nextou_tpu.data.loader import PatchDataLoader
+
+    crashed = threading.Event()
+
+    class _HalfBoom:
+        def __init__(self):
+            self._lock = threading.Lock()
+            self._first = True
+
+        def sample_batch(self, rng=None):
+            with self._lock:
+                first, self._first = self._first, False
+            if first:
+                crashed.set()
+                raise ValueError("corrupt case")
+            data = np.zeros((1, 1, 4, 4), np.float32)
+            return data, np.zeros((1, 4, 4), np.int16), None
+
+    loader = PatchDataLoader(_HalfBoom(), augment=None, num_threads=2,
+                             prefetch=2)
+    import pytest as _pytest
+    with loader:
+        it = iter(loader)
+        with _pytest.raises(RuntimeError, match="producer thread failed"):
+            crashed.wait(5.0)
+            import time as _time
+            _time.sleep(0.2)  # let the dying thread record its exception
+            for _ in range(100):
+                next(it)

@@ -20,7 +20,7 @@ cd "$(dirname "$0")/.."
 
 echo "== 1/3 A/B lowerings -> $OUT/ab_lowerings.log"
 timeout 1500 python tools/exp_ab_lowerings.py 3 2>&1 | tee "$OUT/ab_lowerings.log"
-echo "rc=$?" >> "$OUT/ab_lowerings.log"
+echo "rc=${PIPESTATUS[0]}" >> "$OUT/ab_lowerings.log"
 
 echo "== 2/3 headline bench -> $OUT/bench.log (flip defaults first if the A/B won!)"
 timeout 1800 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.log"
@@ -29,6 +29,6 @@ cat "$OUT/bench.json"
 
 echo "== 3/3 forward breakdown -> $OUT/breakdown.log"
 timeout 1200 python tools/profile_breakdown.py 2>&1 | tee "$OUT/breakdown.log"
-echo "rc=$?" >> "$OUT/breakdown.log"
+echo "rc=${PIPESTATUS[0]}" >> "$OUT/breakdown.log"
 
 echo "done: $OUT"
