@@ -16,8 +16,10 @@ the distance matrix, indices, and gathered neighbors never touch HBM.
 
 Semantics notes:
 - ties break to the lowest index (same as ``torch.topk``/``lax.top_k``),
-- the row-block padding added by Pallas is masked with +inf distances so
-  padded columns are never selected,
+- query-row/batch padding added by Pallas is harmless (out-of-range output
+  writes are dropped); the candidate axis is never gridded (each block sees
+  all M columns), and the in-kernel +inf mask over ``col >= m_valid`` is
+  defense-in-depth against physical lane padding only,
 - only dilation == 1 is fused (always true for <= 8-stage NexToU configs,
   SURVEY.md §2.3); callers fall back to the XLA path otherwise.
 """
@@ -35,21 +37,28 @@ from jax.experimental.pallas import tpu as pltpu
 from nextou_tpu.core.graph import _l2_normalize, dense_knn, batched_index_select
 
 
-def _kernel(x_ref, yn_ref, yv_ref, rel_ref, out_ref, *, k: int, m_valid: int):
+def _kernel(x_ref, yn_ref, yv_ref, *refs, k: int, m_valid: int):
     """A (BB, TILE_N, C) block of query tiles against their M candidates.
 
     x_ref:  (BB, TILE_N, C) normalized queries (f32)
     yn_ref: (BB, M, C) normalized candidates (f32)
     yv_ref: (BB, M, C) raw candidate values (f32)
-    rel_ref: (TILE_N, M) additive distance bias (f32) or all-zeros (shared
-        across the BB graphs — it encodes node positions, identical per
-        window/batch element)
+    refs: (rel_ref, out_ref) or just (out_ref,) — rel_ref is the (TILE_N, M)
+        additive distance bias (f32), present only when the caller has one
+        (shared across the BB graphs: it encodes node positions, identical
+        per window/batch element); omitting it for no-bias calls saves an
+        N*M f32 HBM buffer + its per-grid-step VMEM streaming
     out_ref: (BB, TILE_N, C) per-channel max over the k nearest candidates
 
     BB > 1 batches several small graphs (Swin windows) through one grid
     step: the distance and selection matmuls become batched dot_generals,
     which keeps the MXU busy where a single 168-node window cannot.
     """
+    if len(refs) == 2:
+        rel_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+        rel_ref = None
     x = x_ref[...]
     yn = yn_ref[...]
     yv = yv_ref[...]  # value dtype (bf16 on the prod path — see caller)
@@ -62,7 +71,9 @@ def _kernel(x_ref, yn_ref, yv_ref, rel_ref, out_ref, *, k: int, m_valid: int):
         x, yn, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (BB, TILE_N, M)
-    dist = x_sq - 2.0 * inner + jnp.swapaxes(y_sq, 1, 2) + rel_ref[:][None]
+    dist = x_sq - 2.0 * inner + jnp.swapaxes(y_sq, 1, 2)
+    if rel_ref is not None:
+        dist = dist + rel_ref[:][None]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (bb, tile_n, m), 2)
     # mask out candidate padding (Pallas pads the block to tile multiples)
@@ -87,9 +98,18 @@ def _kernel(x_ref, yn_ref, yv_ref, rel_ref, out_ref, *, k: int, m_valid: int):
         # this is bit-identical to the f32 form at bf16 MXU rates. These k
         # selection matmuls are ~k/(k+1) of the kernel's MXU work.
         onehot = (col == amin).astype(yv.dtype)
+        # bf16 values: 1.0 * value is exact in bf16 at bf16 MXU rates.
+        # f32 values: pin HIGHEST, or the default TPU matmul precision
+        # rounds the f32 values to bf16 mid-gather — breaking the kernel's
+        # exactness contract on exactly the path that exists for exactness.
         sel = jax.lax.dot_general(
             onehot, yv, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=(
+                None
+                if yv.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST
+            ),
         )
         return jnp.maximum(maxy, sel)
 
@@ -120,24 +140,30 @@ def _knn_max_pallas(xn, yn, yv, rel, *, k, tile_n, block_b, interpret):
     grid = (pl.cdiv(B, block_b), pl.cdiv(N, tile_n))
 
     kernel = functools.partial(_kernel, k=k, m_valid=M)
+    in_specs = [
+        pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = (xn, yn, yv)
+    if rel is not None:
+        in_specs.append(
+            pl.BlockSpec((tile_n, M), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands = operands + (rel,)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, M), lambda b, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
         interpret=interpret,
-    )(xn, yn, yv, rel)
+    )(*operands)
     return out
 
 
@@ -163,6 +189,16 @@ def knn_max_neighbors_reference(
 # recomputes the selection with the XLA path (one extra distance matrix —
 # no residuals from the kernel are needed) and routes the cotangent to each
 # per-channel argmax neighbor, exactly the VJP of the reference expression.
+#
+# Caveat (documented, accepted): the forward selects on the Mosaic dot's
+# rounding and the backward on XLA's — at NEAR-TIED distances the two can
+# pick different (equally-near) neighbors, so the cotangent may route to a
+# neighbor whose value differs by O(tie gap). That is a valid subgradient
+# of an epsilon-perturbed objective (the same class of noise bf16 compute
+# already injects); pinning both sides to exact-f32 selection would cost a
+# 6-pass distance matmul in the kernel AND per-step backward for an effect
+# below bf16 rounding. Exact-selection parity of the two paths at HIGHEST
+# precision is covered by tests/test_kernels.py (interpret mode).
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -195,7 +231,7 @@ def _knn_max_fused_bwd(k, tile_n, block_b, interpret, res, g):
 
     _, vjp = jax.vjp(ref, x, y)
     gx, gy = vjp(g)
-    return gx, gy, jnp.zeros_like(rel)
+    return gx, gy, None if rel is None else jnp.zeros_like(rel)
 
 
 _knn_max_fused.defvjp(_knn_max_fused_fwd, _knn_max_fused_bwd)
@@ -214,7 +250,8 @@ def knn_max_neighbors(
     Args:
         x: (B, N, C) query/node features (raw; normalization is internal).
         y: optional (B, M, C) candidate set (raw); defaults to ``x``.
-        relative_pos: optional (N, M) additive distance bias.
+        relative_pos: optional (N, M) additive distance bias; a per-batch
+            (B, N, M) bias is accepted and routed to the XLA path.
     Returns:
         (B, N, C) in x.dtype.
     """
@@ -223,49 +260,67 @@ def knn_max_neighbors(
     M = vals.shape[1]
     platform = jax.devices()[0].platform
     interpret = platform != "tpu"
+
+    def fallback():
+        # honor the 'returns x.dtype' contract on every path (the reference
+        # helper returns the VALUE dtype, which differs on mixed-dtype calls)
+        return knn_max_neighbors_reference(x, k, y, relative_pos).astype(
+            x.dtype
+        )
+
     if interpret and os.environ.get("NEXTOU_PALLAS_INTERPRET", "0") != "1":
         # the Pallas interpreter is an order of magnitude slower than the
         # XLA path — off-TPU it exists for kernel parity tests only
         # (tests set NEXTOU_PALLAS_INTERPRET=1)
-        return knn_max_neighbors_reference(x, k, y, relative_pos)
-
-    # Per-graph VMEM footprint (f32): candidate tiles (2x), query/out tiles,
-    # plus dist/iota/onehot scratch (~4x tile*M).
-    tile = min(tile_n, _round_up(N, 8))
+        return fallback()
+    if relative_pos is not None and relative_pos.ndim == 3:
+        # per-batch (B, N, M) bias: the fused kernel shares one (N, M) bias
+        # across the batch block; the XLA path supports rank 3 directly
+        return fallback()
 
     # keyed on the VALUE set's dtype: _knn_max_fused keeps yv bf16 only when
     # y itself is bf16 (knn.py:175) — estimating from x.dtype would
     # undercount VMEM for a mixed-dtype (bf16 x, f32 y) call
     val_bytes = 2 if vals.dtype == jnp.bfloat16 else 4
 
-    def est_vmem(bb: int) -> int:
-        # double-buffered operand/output blocks + rel + dist/iota/onehot/
-        # argmin scratch (~4x the distance tile); calibrated against the
-        # v5e compiler's scoped-vmem accounting for the serial kernel body.
-        # yn is f32, yv is the value dtype (bf16 on the prod path).
+    def est_vmem(bb: int, t: int) -> int:
+        # double-buffered operand/output blocks + rel (when present) +
+        # dist/iota/onehot/argmin scratch (~4x the distance tile);
+        # calibrated against the v5e compiler's scoped-vmem accounting for
+        # the serial kernel body. yn is f32, yv the value dtype.
+        rel_bytes = 2 * t * M * 4 if relative_pos is not None else 0
         return (
             2 * bb * M * C * (4 + val_bytes)
-            + 2 * bb * 2 * tile * C * 4
-            + 2 * tile * M * 4
-            + 4 * bb * tile * M * 4
+            + 2 * bb * 2 * t * C * 4
+            + rel_bytes
+            + 4 * bb * t * M * 4
         )
+
+    # Per-graph VMEM footprint (f32): candidate tiles (2x), query/out tiles,
+    # plus dist/iota/onehot scratch (~4x tile*M).
+    tile = min(tile_n, _round_up(N, 8))
 
     # Small graphs (Swin windows: N = M = prod(window)) underfill the MXU
     # one-at-a-time; batch several per grid step within the VMEM budget.
     block_b = 1
     if N <= 512:
-        while block_b * 2 <= B and est_vmem(block_b * 2) <= 11 << 20:
+        while block_b * 2 <= B and est_vmem(block_b * 2, tile) <= 11 << 20:
             block_b *= 2
     if interpret and (N * M > 1 << 22):
         # interpreter mode is slow; don't run huge shapes off-TPU
-        return knn_max_neighbors_reference(x, k, y, relative_pos)
-    if est_vmem(block_b) > (15 << 20) or k > M:
-        return knn_max_neighbors_reference(x, k, y, relative_pos)
+        return fallback()
+    # large graphs: shrink the query tile until the footprint fits before
+    # giving up on the kernel (the candidate block is the irreducible part)
+    while est_vmem(block_b, tile) > (15 << 20) and tile > 8:
+        tile = _round_up(tile // 2, 8)
+    if est_vmem(block_b, tile) > (15 << 20) or k > M:
+        return fallback()
 
-    if relative_pos is None:
-        rel = jnp.zeros((N, M), jnp.float32)
-    else:
-        rel = jnp.broadcast_to(relative_pos.astype(jnp.float32), (N, M))
+    rel = (
+        None
+        if relative_pos is None
+        else jnp.broadcast_to(relative_pos.astype(jnp.float32), (N, M))
+    )
     # self-graph: pass x as the candidate set too; JAX accumulates the two
     # cotangent paths back onto x automatically.
     return _knn_max_fused(k, tile, block_b, interpret, x, vals, rel)

@@ -98,3 +98,14 @@ def test_kernel_bf16_values_exact():
     np.testing.assert_array_equal(
         np.asarray(got, np.float32), np.asarray(want, np.float32)
     )
+
+
+def test_kernel_batched_relative_pos_routes_to_reference():
+    """A per-batch (B, N, M) bias is accepted (the XLA path supports it;
+    the fused kernel shares one (N, M) bias) and matches the reference."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 24, 8)), jnp.float32)
+    rel = jnp.asarray(rng.standard_normal((2, 24, 24)), jnp.float32)
+    got = knn_max_neighbors(x, 5, relative_pos=rel)
+    want = knn_max_neighbors_reference(x, 5, relative_pos=rel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
