@@ -411,10 +411,19 @@ def plan_experiment(
         lr_spacing = list(target_t)
         cfg_lr = cfg_fr
         lr_shape = list(median_shape)
+        max_iters = 10_000  # 1.01^10000 >> any real spacing ratio: a pure
+        # convergence backstop that turns a coarsening-loop regression into
+        # an error instead of an infinite hang
         while (
             float(np.prod(lr_shape)) / float(np.prod(cfg_lr["patch_size"]))
             > 1.0 / LOWRES_PATCH_COVERAGE
         ):
+            max_iters -= 1
+            if max_iters < 0:
+                raise RuntimeError(
+                    "3d_lowres spacing search failed to converge "
+                    f"(spacing {lr_spacing}, shape {lr_shape})"
+                )
             mx = max(lr_spacing)
             finer = [s < mx / 2 for s in lr_spacing]
             if any(finer):

@@ -402,3 +402,32 @@ def test_transp_conv_init_matches_torch_fan_in():
     want = float(w.std())
     assert abs(flax_std - want) / want < 0.10, (flax_std, want)
     assert abs(fast_std - want) / want < 0.10, (fast_std, want)
+
+
+def test_lowering_env_knobs_actually_switch_paths(monkeypatch):
+    """Guard against knob-name drift making the A/B parity tests vacuous:
+    each env var must CHANGE the traced computation, not just re-run the
+    default lowering twice."""
+    from nextou_tpu.nn.layers import FoldedConv, InstanceNorm, ShuffleConvTranspose
+
+    x3 = jnp.zeros((1, 4, 6, 8, 5), jnp.float32)
+
+    def jaxpr_of(mod, x, **env):
+        for k in ("NEXTOU_PHASE_CONV", "NEXTOU_SHUFFLE_TRANSPCONV",
+                  "NEXTOU_ONEPASS_IN"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        vars_ = mod.init(jax.random.PRNGKey(0), x)
+        return str(jax.make_jaxpr(lambda a: mod.apply(vars_, a))(x))
+
+    conv = FoldedConv(features=6, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+                      padding=((1, 1),) * 3)
+    assert jaxpr_of(conv, x3) != jaxpr_of(conv, x3, NEXTOU_PHASE_CONV="1")
+
+    tc = ShuffleConvTranspose(features=6, kernel_size=(2, 2, 2),
+                              strides=(2, 2, 2))
+    assert jaxpr_of(tc, x3) != jaxpr_of(tc, x3, NEXTOU_SHUFFLE_TRANSPCONV="0")
+
+    inorm = InstanceNorm()
+    assert jaxpr_of(inorm, x3) != jaxpr_of(inorm, x3, NEXTOU_ONEPASS_IN="1")

@@ -280,8 +280,12 @@ def test_2d_config_validates_3d_volumes(tmp_path):
         folder, n_cases=4, shape=(6, 48, 48), num_classes=3, seed=5
     )
     out = str(tmp_path / "run")
-    trainer = _make_trainer(
-        "nnUNetTrainer_NexToU", folder, out,
+    cls = get_trainer_class("nnUNetTrainer_NexToU")
+    trainer = cls(
+        TINY_PLANS, "2d_tiny", fold=0,
+        dataset_json={**DATASET_JSON, "numTraining": 4},
+        preprocessed_folder=folder, output_folder=out,
+        compute_dtype=jnp.float32, remat=False,
         num_epochs=1, num_iterations_per_epoch=2,
         num_val_iterations_per_epoch=1,
     )
@@ -297,7 +301,7 @@ def test_2d_config_validates_3d_volumes(tmp_path):
         assert z["probabilities"].shape == (6, 48, 48, 3)
 
 
-def test_sampler_uniform_center_reaches_last_position(tmp_path):
+def test_sampler_uniform_center_reaches_last_position():
     """Uniform center sampling must include the LAST valid patch position
     (rng.integers' exclusive bound used to drop it, so the trailing plane
     was never seen outside fg-forced patches)."""
@@ -325,7 +329,7 @@ def test_sampler_uniform_center_reaches_last_position(tmp_path):
     assert centers == {32, 33}  # both valid starts (0 and 1) drawn
 
 
-def test_loader_surfaces_producer_errors(tmp_path):
+def test_loader_surfaces_producer_errors():
     """A producer-thread exception must surface as RuntimeError from
     __next__, not hang training forever on an empty queue."""
     from nextou_tpu.data.loader import PatchDataLoader
@@ -335,13 +339,12 @@ def test_loader_surfaces_producer_errors(tmp_path):
             raise ValueError("corrupt case")
 
     loader = PatchDataLoader(_BoomSampler(), augment=None, num_threads=2)
-    import pytest as _pytest
     with loader:
-        with _pytest.raises(RuntimeError, match="producer thread failed"):
+        with pytest.raises(RuntimeError, match="producer thread failed"):
             next(iter(loader))
 
 
-def test_gaussian_noise_std_matches_batchgenerators(tmp_path):
+def test_gaussian_noise_std_matches_batchgenerators():
     """The value drawn from noise_variance is np.random.normal's *scale*
     (std) in batchgenerators, despite the name — both DA paths must apply
     it un-sqrt'd."""
@@ -398,7 +401,7 @@ def test_loader_error_surfaces_even_with_surviving_thread():
     import pytest as _pytest
     with loader:
         it = iter(loader)
-        with _pytest.raises(RuntimeError, match="producer thread failed"):
+        with pytest.raises(RuntimeError, match="producer thread failed"):
             crashed.wait(5.0)
             import time as _time
             _time.sleep(0.2)  # let the dying thread record its exception
