@@ -162,6 +162,12 @@ def _knn_max_pallas(xn, yn, yv, rel, *, k, tile_n, block_b, interpret):
         out_specs=pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        # the compiler's default scoped-vmem budget is 16 MiB and its
+        # accounting of the kernel body's stack (dist/onehot temporaries)
+        # runs above our block-spec estimate; raise the per-kernel limit so
+        # block sizes are governed by est_vmem below, not the 16 MiB default
+        # (v5e has 128 MiB VMEM; 64 MiB leaves double-buffer headroom)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(*operands)
     return out
