@@ -132,8 +132,19 @@ def preprocess_case(
     use_mask_for_norm: bool | list[bool] = False,
     normalization_schemes: list[str] | None = None,
     intensity_props: dict | None = None,
+    resampling_data_kwargs: dict | None = None,
+    resampling_seg_kwargs: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray | None, dict]:
-    """Full pipeline: crop -> normalize -> resample. Returns (data, seg, props)."""
+    """Full pipeline: crop -> normalize -> resample. Returns (data, seg, props).
+
+    When the plans' resampling kwargs are given (``order``/``order_z``/
+    ``force_separate_z``), resampling follows the substrate's
+    ``resample_data_or_seg_to_shape`` exactly — half-pixel convention,
+    anisotropy-dependent slice-wise separate-z, one-hot seg semantics
+    (``data/resampling.py``). Without them the fast legacy path (native/scipy
+    isotropic zoom, nearest segs) is kept for callers that predate the plans
+    surface.
+    """
     orig_shape = data.shape[1:]
     data, seg, bbox = crop_to_nonzero(data, seg)
     if normalization_schemes is not None:
@@ -146,9 +157,22 @@ def preprocess_case(
     else:
         data = zscore_normalize(data, use_mask=bool(use_mask_for_norm))
     new_shape = shape_for_spacing(data.shape[1:], spacing, target_spacing)
-    data = np.stack([resample_to_shape(c, new_shape, order=3) for c in data])
-    if seg is not None:
-        seg = resample_to_shape(seg, new_shape, is_seg=True)
+    if resampling_data_kwargs is not None or resampling_seg_kwargs is not None:
+        from nextou_tpu.data.resampling import resample_data_or_seg_to_shape
+
+        data = resample_data_or_seg_to_shape(
+            data, new_shape, spacing, target_spacing, is_seg=False,
+            **(resampling_data_kwargs or {}),
+        )
+        if seg is not None:
+            seg = resample_data_or_seg_to_shape(
+                seg, new_shape, spacing, target_spacing, is_seg=True,
+                **(resampling_seg_kwargs or {}),
+            )
+    else:
+        data = np.stack([resample_to_shape(c, new_shape, order=3) for c in data])
+        if seg is not None:
+            seg = resample_to_shape(seg, new_shape, is_seg=True)
     props = {
         "original_shape": list(orig_shape),
         "bbox": [list(b) for b in bbox],

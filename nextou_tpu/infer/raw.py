@@ -37,6 +37,8 @@ def predict_raw_case(
     prev_onehot: np.ndarray | None = None,
     prev_onehot_loader: Callable[[tuple], np.ndarray] | None = None,
     label_manager=None,
+    resampling_data_kwargs: dict | None = None,
+    resampling_probabilities_kwargs: dict | None = None,
 ) -> np.ndarray:
     """images: (C, *sp) raw; returns (*sp) int16 seg at original geometry.
 
@@ -64,7 +66,17 @@ def predict_raw_case(
     if len(tgt) == len(orig_shape) - 1:  # 2d configuration on 3d volume
         tgt = [spacing[0]] + tgt
     new_shape = shape_for_spacing(shape_after_crop, spacing, tgt)
-    data = np.stack([resample_to_shape(c, new_shape, order=3) for c in data])
+    if resampling_data_kwargs is not None:
+        from nextou_tpu.data.resampling import resample_data_or_seg_to_shape
+
+        data = resample_data_or_seg_to_shape(
+            data, new_shape, spacing, tgt, is_seg=False,
+            **resampling_data_kwargs,
+        )
+    else:
+        data = np.stack(
+            [resample_to_shape(c, new_shape, order=3) for c in data]
+        )
 
     x = np.moveaxis(data, 0, -1)
     if prev_onehot is None and prev_onehot_loader is not None:
@@ -75,15 +87,35 @@ def predict_raw_case(
         )
     probs = predictor(x)  # (*new_shape, num_classes)
 
-    # resample probabilities back to the cropped grid (order 1), argmax
+    # resample probabilities back to the cropped grid (plans' probabilities
+    # kwargs — order 1 + separate-z dispatch; spacing roles swap on the way
+    # back: current = configuration spacing, new = original spacing)
     if tuple(new_shape) != tuple(shape_after_crop):
-        probs = np.stack(
-            [
-                resample_to_shape(probs[..., c], shape_after_crop, order=1)
-                for c in range(probs.shape[-1])
-            ],
-            axis=-1,
-        )
+        if resampling_probabilities_kwargs is not None:
+            from nextou_tpu.data.resampling import (
+                resample_data_or_seg_to_shape,
+            )
+
+            probs = np.moveaxis(
+                resample_data_or_seg_to_shape(
+                    np.moveaxis(probs, -1, 0),
+                    shape_after_crop,
+                    tgt,
+                    spacing,
+                    is_seg=False,
+                    **resampling_probabilities_kwargs,
+                ),
+                0,
+                -1,
+            )
+        else:
+            probs = np.stack(
+                [
+                    resample_to_shape(probs[..., c], shape_after_crop, order=1)
+                    for c in range(probs.shape[-1])
+                ],
+                axis=-1,
+            )
     if label_manager is not None:
         seg_crop = label_manager.convert_probabilities_to_segmentation(probs)
     else:
@@ -107,6 +139,7 @@ def predict_raw_folder(
     cases: list[str] | None = None,
     prev_seg_loader: Callable[[str, tuple], np.ndarray] | None = None,
     verbose: bool = True,
+    postprocess: Callable[[np.ndarray], np.ndarray] | None = None,
 ) -> list[str]:
     """Predict every case of a raw folder (``{case}_{0000..}.nii.gz``
     layout, or ``{case}.nii.gz`` single-channel) and write
@@ -165,7 +198,15 @@ def predict_raw_folder(
                 else (lambda shape, _cid=cid: prev_seg_loader(_cid, shape))
             ),
             label_manager=plans_manager.get_label_manager(dataset_json),
+            resampling_data_kwargs=(
+                configuration_manager.resampling_fn_data_kwargs
+            ),
+            resampling_probabilities_kwargs=(
+                configuration_manager.resampling_fn_probabilities_kwargs
+            ),
         )
+        if postprocess is not None:
+            seg = postprocess(seg)
         out = os.path.join(output_folder, f"{cid}{ending}")
         write_nifti(out, seg, spacing=spacing)
         written.append(out)

@@ -164,11 +164,16 @@ def _mrconv_aggregate(mod, x_nodes, y_nodes, relative_pos, train):
     # Cast nodes to the module compute dtype BEFORE the kNN. The grapher's
     # fc1 BatchNorm emits f32 regardless of model dtype (layers.py::make_norm)
     # and every downstream matmul casts to `dtype` anyway; doing it here (a)
-    # matches the torch reference under AMP, where the kNN distances are
-    # computed on autocast-fp16 features (torch_edge.py under no_grad inside
-    # the autocast region), and (b) keeps the fused kernel's neighbor gather
-    # on the exact 1-pass bf16 path — f32 values force a 6-pass HIGHEST
-    # gather that costs ~50 ms/step across the flagship model (PERF.md).
+    # approximates the torch reference under AMP — autocast downcasts only
+    # the inner-product matmul to fp16 while F.normalize and the
+    # sum-of-squares terms stay fp32 on the BN output (torch_edge.py under
+    # no_grad inside the autocast region), so quantizing the features
+    # themselves to bf16 is slightly coarser; selection can differ from the
+    # AMP reference at tie-gap-level noise only, and the fused/fallback
+    # paths stay mutually consistent — and (b) keeps the fused kernel's
+    # neighbor gather on the exact 1-pass bf16 path — f32 values force a
+    # 6-pass HIGHEST gather that costs ~50 ms/step across the flagship
+    # model (PERF.md).
     if mod.dtype is not None:
         x_nodes = x_nodes.astype(mod.dtype)
         if y_nodes is not None:

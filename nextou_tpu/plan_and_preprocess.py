@@ -110,6 +110,8 @@ def preprocess_dataset(
                 use_mask_for_norm=cm.use_mask_for_norm,
                 normalization_schemes=cm.normalization_schemes,
                 intensity_props=intensity,
+                resampling_data_kwargs=cm.resampling_fn_data_kwargs,
+                resampling_seg_kwargs=cm.resampling_fn_seg_kwargs,
             )
             save_case(dest, cid, pdata, pseg, properties=props)
             if verbose:

@@ -106,6 +106,37 @@ class ConfigurationManager:
             for i in range(self.num_stages)
         ]
 
+    # --- resampling kwargs (the plans hard-code resample_data_or_seg_to_shape
+    # with these; /root/reference/nnUNetPlans.json:132-152). Missing keys fall
+    # back to the substrate defaults so hand-written minimal plans behave like
+    # nnU-Net's shipped ones.
+
+    def _resampling_kwargs(self, key: str, default: dict) -> dict:
+        kw = dict(self.configuration.get(key, default))
+        kw.pop("is_seg", None)  # implied by which entry point is used
+        return kw
+
+    @property
+    def resampling_fn_data_kwargs(self) -> dict:
+        return self._resampling_kwargs(
+            "resampling_fn_data_kwargs",
+            {"order": 3, "order_z": 0, "force_separate_z": None},
+        )
+
+    @property
+    def resampling_fn_seg_kwargs(self) -> dict:
+        return self._resampling_kwargs(
+            "resampling_fn_seg_kwargs",
+            {"order": 0, "order_z": 0, "force_separate_z": None},
+        )
+
+    @property
+    def resampling_fn_probabilities_kwargs(self) -> dict:
+        return self._resampling_kwargs(
+            "resampling_fn_probabilities_kwargs",
+            {"order": 1, "order_z": 0, "force_separate_z": None},
+        )
+
 
 class LabelManager:
     """Label bookkeeping from dataset.json (nnU-Net's LabelManager surface).

@@ -208,11 +208,35 @@ def main(argv=None):
              "configuration's grid (from predict_next_stage or predict)",
     )
     ap.add_argument(
+        "-pp", "--postprocessing", default=None,
+        help="apply determined postprocessing to every written segmentation: "
+             "a postprocessing.json (from nextou_tpu.postprocess determine) "
+             "or an inference_information.json carrying a 'postprocessing' "
+             "key (from nextou_tpu.find_best_configuration)",
+    )
+    ap.add_argument(
         "--save-probabilities", action="store_true",
         help="also store the softmax probabilities (float16) in the output "
              "npz — needed for ensembling (nextou_tpu.ensemble)",
     )
     args = ap.parse_args(argv)
+
+    postprocess = None
+    if args.postprocessing is not None:
+        import json as _json
+
+        from nextou_tpu.postprocess import apply_postprocessing
+
+        with open(args.postprocessing) as f:
+            pp = _json.load(f)
+        pp = pp.get("postprocessing", pp)  # inference_information.json form
+        if "remove_all_but_largest_component" not in pp:
+            raise SystemExit(
+                f"{args.postprocessing} carries no postprocessing operations"
+            )
+
+        def postprocess(seg, _pp=pp):
+            return apply_postprocessing(seg, _pp)
 
     from nextou_tpu.paths import resolve_preprocessed, resolve_raw
     args.dataset_folder = (resolve_raw if args.raw else resolve_preprocessed)(args.dataset_folder)
@@ -297,6 +321,7 @@ def main(argv=None):
             dataset_json,
             cases=args.cases,
             prev_seg_loader=prev_seg_loader,
+            postprocess=postprocess,
         )
         return
 
@@ -362,6 +387,8 @@ def main(argv=None):
             if want_seg
             else trainer.label_manager.convert_probabilities_to_segmentation(probs)
         )
+        if postprocess is not None:
+            seg = postprocess(np.asarray(seg))
         payload = {"seg": seg}
         if args.save_probabilities:
             payload["probabilities"] = probs.astype(np.float16)

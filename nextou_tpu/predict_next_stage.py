@@ -45,7 +45,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from nextou_tpu.data import PreprocessedDataset
-    from nextou_tpu.data.preprocessing import resample_to_shape
+    from nextou_tpu.data.resampling import resample_data_or_seg_to_shape
     from nextou_tpu.plans.loader import load_dataset_json
     from nextou_tpu.predict import build_predictor
     from nextou_tpu.train import get_trainer_class
@@ -118,10 +118,22 @@ def main(argv=None):
                 if want_seg
                 else trainer.label_manager.convert_probabilities_to_segmentation(out)
             )
-            # resample onto the next stage's preprocessed grid (order 0)
+            # resample onto the next stage's preprocessed grid with the
+            # NEXT configuration's seg-resampling kwargs (separate-z honored;
+            # current spacing = this stage's, new = next stage's)
             with np.load(os.path.join(dst_dir, f"{cid}.npz")) as z:
                 target_shape = z["seg"].shape
-            seg_up = resample_to_shape(seg, target_shape, is_seg=True)
+            next_cm = trainer.plans_manager.get_configuration(
+                args.next_config
+            )
+            seg_up = resample_data_or_seg_to_shape(
+                seg,
+                target_shape,
+                trainer.configuration_manager.spacing,
+                next_cm.spacing,
+                is_seg=True,
+                **next_cm.resampling_fn_seg_kwargs,
+            )
             np.savez_compressed(
                 os.path.join(out_dir, f"{cid}.npz"),
                 seg=seg_up.astype(np.int16),

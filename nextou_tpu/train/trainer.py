@@ -575,10 +575,12 @@ class NexToUTrainer:
     ) -> dict:
         """Sliding-window prediction of every validation case, per-class Dice,
         written to ``<output>/validation/summary.json`` (the substrate's
-        output format, SURVEY.md §5). With ``save_probabilities`` (the
-        ``--npz`` train flag) each case's softmax is stored as
-        ``validation/{case}.npz`` ('probabilities', float16, (*sp, C)) — the
-        input ``find_best_configuration`` ensembling consumes."""
+        output format, SURVEY.md §5). Every case's predicted segmentation is
+        stored as ``validation/{case}.npz`` ('seg', int16) — the CV
+        predictions ``find_best_configuration`` determines postprocessing
+        on, like nnU-Net's validation folder. With ``save_probabilities``
+        (the ``--npz`` train flag) the softmax joins the same npz
+        ('probabilities', float16, (*sp, C)) for ensembling."""
         from nextou_tpu.infer.evaluate import evaluate_cases
         from nextou_tpu.predict import build_predictor
 
@@ -596,13 +598,14 @@ class NexToUTrainer:
                 hot = np.stack([case.seg_prev == l for l in fg], axis=-1)
                 data = np.concatenate([data, hot.astype(np.float32)], axis=-1)
             probs = predictor(data)
-            if save_probabilities:
-                np.savez_compressed(
-                    os.path.join(val_dir, f"{cid}.npz"),
-                    probabilities=np.asarray(probs, np.float16),
-                )
             seg = self.label_manager.convert_probabilities_to_segmentation(
                 probs
+            )
+            payload = {"seg": np.asarray(seg, np.int16)}
+            if save_probabilities:
+                payload["probabilities"] = np.asarray(probs, np.float16)
+            np.savez_compressed(
+                os.path.join(val_dir, f"{cid}.npz"), **payload
             )
             cases.append((seg, case.seg, cid))
         lm = self.label_manager

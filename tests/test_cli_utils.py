@@ -104,3 +104,57 @@ def test_find_best_ensemble_gt_shape_matching_and_pair_isolation(tmp_path):
     names = [o["name"] for o in out]
     assert names == ["ensemble runA + runB"]  # c-pairs skipped, not fatal
     assert out[0]["fg_mean_dice"] == 1.0  # scored against the matching grid
+
+
+def test_find_best_determines_postprocessing_on_winner(tmp_path):
+    """With -ds, find_best runs determine_postprocessing on the winner's CV
+    segs and bakes the ops + apply step into inference_information (nnU-Net's
+    find_best workflow). Label 1 has a spurious second component in the
+    predictions (removal helps); label 2 legitimately has two components
+    (removal hurts and must stay off)."""
+    gt = np.zeros((12, 12), np.int16)
+    gt[1:4, 1:4] = 1
+    gt[7:10, 1:4] = 2
+    gt[7:10, 7:10] = 2  # two real components of label 2
+    pred = gt.copy()
+    pred[11, 11] = 1  # spurious label-1 speck
+
+    run = tmp_path / "best_run"
+    vdir = run / "validation"
+    vdir.mkdir(parents=True)
+    (vdir / "summary.json").write_text(
+        json.dumps({"foreground_mean": {"Dice": 0.9}})
+    )
+    np.savez(vdir / "case0.npz", seg=pred)
+    ds = tmp_path / "preproc"
+    ds.mkdir()
+    np.savez(ds / "case0.npz", seg=gt)
+
+    info = find_best({"best_run": str(run)}, dataset_folder=str(ds))
+    pp = info["postprocessing"]["remove_all_but_largest_component"]
+    assert pp["1"] is True
+    assert pp["2"] is False
+    assert "postprocess apply" in info["inference_instructions"]
+
+
+def test_find_best_skips_postprocessing_without_cv_segs(tmp_path):
+    """Runs predating stored CV segs (probabilities-only npz) must not
+    crash find_best — postprocessing is skipped, ranking still returned."""
+    run = tmp_path / "old_run"
+    vdir = run / "validation"
+    vdir.mkdir(parents=True)
+    (vdir / "summary.json").write_text(
+        json.dumps({"foreground_mean": {"Dice": 0.8}})
+    )
+    np.savez(vdir / "case0.npz",
+             probabilities=np.ones((4, 4, 2), np.float16))
+    (run / "dataset.json").write_text(json.dumps(
+        {"labels": {"background": 0, "fg": 1}, "numTraining": 1,
+         "channel_names": {"0": "img"}}
+    ))
+    ds = tmp_path / "preproc"
+    ds.mkdir()
+    np.savez(ds / "case0.npz", seg=np.zeros((4, 4), np.int16))
+    info = find_best({"old_run": str(run)}, dataset_folder=str(ds))
+    assert "postprocessing" not in info
+    assert info["best_configuration"] == "old_run"
