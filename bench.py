@@ -8,6 +8,9 @@ Measures BOTH (BASELINE.json "3D patches/sec/chip at 64x224x192"):
   This is the **headline** metric/value.
 - ``fwd``: bare batched forward patches/sec/chip (the round-1 metric, kept
   for continuity).
+- ``train``: full nnU-Net-protocol train step (fwd+bwd+SGD update, deep
+  supervision, bf16+remat) patches/sec/chip — regression-gates training
+  throughput (extras ``train_patches_per_sec``; NEXTOU_BENCH_TRAIN=0 skips).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
@@ -44,6 +47,7 @@ def _log(msg):
 # per-tile overhead over bare forward -> 15 tiles/s.
 A100_FWD_EST = 18.0  # patches/s forward, central estimate (band 12-27)
 A100_SW_EST = 15.0  # sliding-window tiles/s, central estimate (band 10-22.5)
+A100_TRAIN_EST = 6.0  # train patches/s (fwd+bwd+update), central (band 4-9)
 
 BATCH = int(os.environ.get("NEXTOU_BENCH_BATCH", "2"))
 TILE_BATCH = int(os.environ.get("NEXTOU_BENCH_TILE_BATCH", "4"))
@@ -198,6 +202,103 @@ def main():
         sw_tta_pps = n_tiles / t_tta
         _log(f"TTA sliding window: {t_tta:.3f} s/volume -> {sw_tta_pps:.2f} patches/s")
 
+    # ---- train step (fwd+bwd+update, the nnU-Net protocol) ---------------
+    # Regression-gates training throughput alongside inference (VERDICT r2
+    # #4). NEXTOU_BENCH_TRAIN=0 skips it; batch/remat are env-overridable
+    # (defaults = the measured-best flagship training config).
+    train_pps = None
+    train_cfg = None
+    if os.environ.get("NEXTOU_BENCH_TRAIN", "1") == "1":
+        del predictor  # free the inference executables' HBM first
+        if sw_tta_pps is not None:
+            del predictor_tta
+        from nextou_tpu.losses import CompoundLossSpec
+        from nextou_tpu.losses.deep_supervision import (
+            deep_supervision_weights,
+        )
+        from nextou_tpu.models.presets import flagship_3d_spec as _fs
+        from nextou_tpu.train import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+        from nextou_tpu.train.optimizer import poly_lr
+
+        if os.environ.get("NEXTOU_BENCH_PRESET", "flagship") == "small":
+            from nextou_tpu.models.presets import small_3d_spec
+
+            tspec = small_3d_spec(deep_supervision=True)
+        else:
+            tspec = _fs(deep_supervision=True)
+        train_b = int(os.environ.get("NEXTOU_TRAIN_BENCH_BATCH", "2"))
+        remat = {"1": True, "0": False, "big": "big"}[
+            os.environ.get("NEXTOU_BENCH_REMAT", "1")
+        ]
+        tmodel = NexToU(
+            spec=tspec, dtype=jnp.bfloat16, remat=remat,
+            channel_major_logits=True,
+        )
+        rng = np.random.default_rng(0)
+        tx = jnp.asarray(
+            rng.standard_normal(
+                (train_b, *tspec.patch_size, tspec.in_channels)
+            ),
+            jnp.float32,
+        )
+        opt = make_optimizer(
+            poly_lr(1e-2, 1000, 0.9, steps_per_epoch=250),
+            weight_decay=3e-5,
+            clip_norm=12.0,
+        )
+        state = jax.device_put(
+            create_train_state(tmodel, opt, tx[:1], jax.random.PRNGKey(0))
+        )
+        jax.block_until_ready(state.params)
+        step = make_train_step(
+            tmodel,
+            opt,
+            CompoundLossSpec(
+                weight_ce=1.0, weight_dice=1.0, weight_ti=0.0,
+                batch_dice=True, smooth=1e-5, do_bg=False,
+            ),
+            deep_supervision_weights(len(tspec.decoder)),
+        )
+        seg = jnp.asarray(
+            rng.integers(0, tspec.num_classes, (train_b, *tspec.patch_size)),
+            jnp.int32,
+        )
+        batch = {"data": tx, "seg": seg}
+        state, m = step(state, batch)
+        _ = float(m["loss"])  # genuine wait (tunnel block_until_ready lies)
+        _log(f"train-step compile+first (batch {train_b}, remat={remat!r})")
+
+        # 1-step vs 10-step in-device loop slope cancels dispatch latency
+        @jax.jit
+        def run10(state, batch):
+            def body(i, st):
+                new_st, _ = step(st, batch)
+                return new_st
+
+            return jax.lax.fori_loop(0, 10, body, state)
+
+        s10 = run10(state, batch)
+        jax.block_until_ready(s10.params)  # compile the loop
+        t0 = time.perf_counter()
+        s_a, m_a = step(state, batch)
+        _ = float(m_a["loss"])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s_b = run10(s_a, batch)  # chain off s_a: step donated `state`
+        _ = float(jax.tree_util.tree_leaves(s_b.params)[0].ravel()[0])
+        t10 = time.perf_counter() - t0
+        dt_train = (t10 - t1) / 9.0
+        train_pps = train_b / dt_train
+        train_cfg = {"batch": train_b, "remat": str(remat)}
+        _log(
+            f"train step: {dt_train*1e3:.0f} ms ({train_b} patches) -> "
+            f"{train_pps:.2f} patches/s"
+        )
+
     print(
         json.dumps(
             {
@@ -218,9 +319,19 @@ def main():
                         round(sw_tta_pps, 3) if sw_tta_pps else None
                     ),
                     "n_tiles": n_tiles,
+                    "train_patches_per_sec": (
+                        round(train_pps, 3) if train_pps else None
+                    ),
+                    "train_vs_baseline": (
+                        round(train_pps / A100_TRAIN_EST, 3)
+                        if train_pps
+                        else None
+                    ),
+                    "train_config": train_cfg,
                     "baseline": {
                         "a100_fwd_est": A100_FWD_EST,
                         "a100_sw_est": round(A100_SW_EST, 2),
+                        "a100_train_est": A100_TRAIN_EST,
                         "method": "BASELINE.md: A100 baseline estimate",
                     },
                 },

@@ -232,7 +232,11 @@ class ShuffleConvTranspose(nn.Module):
         nd = len(k)
         B, sp, cin = x.shape[0], x.shape[1:-1], x.shape[-1]
 
-        if k != s or os.environ.get("NEXTOU_SHUFFLE_TRANSPCONV", "1") == "0":
+        # default OFF: the round-3 in-model A/B measured lax.conv_transpose
+        # at 169.8 ms vs 173.4 ms with the pixel-shuffle matmul (batch-2
+        # flagship forward) — the shuffle's layout transpose eats its
+        # standalone 3.4x win in context (tools/exp_ab_lowerings.py)
+        if k != s or os.environ.get("NEXTOU_SHUFFLE_TRANSPCONV", "0") == "0":
             letters = "DHW"[-nd:]
             dn = (f"N{letters}C", f"{letters}IO", f"N{letters}C")
             y = jax.lax.conv_transpose(

@@ -4,3 +4,8 @@ from nextou_tpu.parallel.mesh import (
     replicate,
     batch_sharding,
 )
+from nextou_tpu.parallel.distributed import (
+    distributed_requested,
+    initialize_distributed,
+    local_share,
+)

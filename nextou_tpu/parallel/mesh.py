@@ -44,12 +44,34 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """Device-put a host pytree with the batch axis sharded over 'data'."""
+    """Device-put a host pytree with the batch axis sharded over 'data'.
+
+    Single-process: a plain sharded ``device_put``. Multi-process (pod): the
+    input is this process's *local* share of the global batch
+    (``parallel.distributed.local_share`` examples per host) and the global
+    array is assembled from the per-process shards without any cross-host
+    data movement (``jax.make_array_from_process_local_data``).
+    """
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)
+        ),
+        tree,
+    )
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Fully replicate a pytree over the mesh."""
+    """Fully replicate a pytree over the mesh (every process must hold the
+    same host values — true for the seed-deterministic param init)."""
     sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)
+        ),
+        tree,
+    )

@@ -21,6 +21,18 @@ def main(argv=None):
     from nextou_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    # multi-host pods: one process per host, same CLI on each; must init
+    # BEFORE the first backend touch (parallel/distributed.py has the
+    # v5e-pod launch path)
+    from nextou_tpu.parallel.distributed import (
+        distributed_requested,
+        initialize_distributed,
+    )
+
+    if distributed_requested():
+        pid, n = initialize_distributed()
+        print(f"distributed: process {pid}/{n}", flush=True)
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("dataset_folder", help="preprocessed dataset folder")
     ap.add_argument("configuration", help="e.g. 3d_fullres_nextou")

@@ -368,16 +368,27 @@ class NexToUTrainer:
     def get_dataloaders(self):
         train_ds, val_ds = self.get_split()
         patch = tuple(self.configuration_manager.patch_size)
+        # multi-host: each process loads only its share of the global batch
+        # (shard_batch assembles the global array from the local shards);
+        # per-process seed offsets keep hosts sampling different patches —
+        # the DDP sampler-rank analog
+        local_bs = self.batch_size
+        seed = self.seed
+        if jax.process_count() > 1:
+            from nextou_tpu.parallel.distributed import local_share
+
+            local_bs = local_share(self.batch_size)
+            seed = self.seed + 9973 * jax.process_index()
         train_sampler = PatchSampler(
             train_ds,
             patch,
-            self.batch_size,
+            local_bs,
             self.oversample_foreground_percent,
-            seed=self.seed,
+            seed=seed,
         )
         val_sampler = PatchSampler(
-            val_ds, patch, self.batch_size,
-            self.oversample_foreground_percent, seed=self.seed + 1,
+            val_ds, patch, local_bs,
+            self.oversample_foreground_percent, seed=seed + 1,
         )
         self._resolve_device_da()
         aug = None if self.device_da else self._augment_config()
@@ -386,12 +397,12 @@ class NexToUTrainer:
             tuple(self.label_manager.foreground_labels) if cascade else None
         )
         train_loader = PatchDataLoader(
-            train_sampler, augment=aug, seed=self.seed,
+            train_sampler, augment=aug, seed=seed,
             num_threads=self.loader_threads,
             onehot_labels=onehot, cascade_noise=cascade,
         )
         val_loader = PatchDataLoader(
-            val_sampler, augment=None, seed=self.seed + 7,
+            val_sampler, augment=None, seed=seed + 7,
             num_threads=self.loader_threads,
             onehot_labels=onehot, cascade_noise=False,
         )
@@ -403,6 +414,8 @@ class NexToUTrainer:
 
     def print_to_log_file(self, *msgs):
         line = " ".join(str(m) for m in msgs)
+        if jax.process_index() != 0:
+            return  # multi-host: only the lead process logs/writes files
         print(line, flush=True)
         os.makedirs(self.output_folder, exist_ok=True)
         with open(os.path.join(self.output_folder, "training_log.txt"), "a") as f:
@@ -519,6 +532,8 @@ class NexToUTrainer:
     def plot_progress(self):
         """Write ``progress.png`` (the substrate's per-epoch training curve:
         losses + EMA pseudo-Dice + epoch time; SURVEY.md §5)."""
+        if jax.process_index() != 0:
+            return
         if not self.log_history:
             return
         try:
@@ -627,6 +642,8 @@ class NexToUTrainer:
     # ------------------------------------------------------------------ #
 
     def save_checkpoint(self, name: str):
+        if jax.process_index() != 0:
+            return  # multi-host: replicated state, lead process writes
         extra = {
             "epoch": self.current_epoch,
             "best_ema": self._best_ema,

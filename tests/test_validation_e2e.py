@@ -45,3 +45,106 @@ def test_train_then_validate(tmp_path):
     assert loaded["foreground_mean"]["Dice"] == summary["foreground_mean"]["Dice"]
     # easy blobs + 200 steps: should segment far better than chance
     assert summary["foreground_mean"]["Dice"] > 0.5, summary["mean"]
+
+
+TINY_3D_PLANS = {
+    "dataset_name": "Dataset998_Synth3d",
+    "plans_name": "nnUNetPlans",
+    "configurations": {
+        "3d_tiny": {
+            "batch_size": 2,
+            "patch_size": [16, 32, 32],
+            "spacing": [1.0, 1.0, 1.0],
+            "normalization_schemes": ["ZScoreNormalization"],
+            "use_mask_for_norm": [False],
+            "UNet_class_name": "PlainConvUNet",
+            "UNet_base_num_features": 6,
+            "unet_max_num_features": 12,
+            "n_conv_per_stage_encoder": [2, 2, 2, 2, 2],
+            "n_conv_per_stage_decoder": [2, 2, 2, 2],
+            "pool_op_kernel_sizes": [
+                [1, 1, 1], [2, 2, 2], [2, 2, 2], [2, 2, 2], [1, 1, 1],
+            ],
+            "conv_kernel_sizes": [[3, 3, 3]] * 5,
+            "batch_dice": True,
+        }
+    },
+}
+
+
+def _make_structured_3d_dataset(folder: str, n_cases: int = 6, seed: int = 5):
+    """Structured 3D task learnable to high Dice in a few hundred steps on
+    CPU: one LARGE ellipsoid per foreground class (~5-10% of the volume
+    each, class-dependent intensity + noise), jittered per case.
+    make_synthetic_dataset's generic blob world puts class 1 at ~2% volume
+    with 1-voxel-thin z extents at this resolution — measurably unlearnable
+    for a tiny net in 250 steps (class-1 Dice collapses to 0), which would
+    test the task, not the framework."""
+    from nextou_tpu.data.dataset import save_case
+
+    rng = np.random.default_rng(seed)
+    shape = (16, 32, 32)
+    grid = np.stack(
+        np.meshgrid(
+            *[np.arange(s, dtype=np.float32) for s in shape], indexing="ij"
+        )
+    )
+    for i in range(n_cases):
+        seg = np.zeros(shape, np.int16)
+        # class 1: ellipsoid in the left half; class 2: right half
+        for c, x_frac in ((1, 0.28), (2, 0.72)):
+            center = np.array(
+                [
+                    shape[0] * rng.uniform(0.4, 0.6),
+                    shape[1] * rng.uniform(0.4, 0.6),
+                    shape[2] * (x_frac + rng.uniform(-0.05, 0.05)),
+                ]
+            )
+            radii = np.array(
+                [
+                    shape[0] * rng.uniform(0.25, 0.35),
+                    shape[1] * rng.uniform(0.22, 0.3),
+                    shape[2] * rng.uniform(0.14, 0.18),
+                ]
+            )
+            d = (((grid - center.reshape(3, 1, 1, 1))
+                  / radii.reshape(3, 1, 1, 1)) ** 2).sum(0)
+            seg[np.logical_and(d <= 1.0, seg == 0)] = c
+        intensity = np.take(
+            np.linspace(-1.0, 1.0, 3).astype(np.float32), seg
+        )
+        data = intensity + rng.normal(0, 0.15, shape).astype(np.float32)
+        save_case(folder, f"case_{i:03d}", data[None], seg)
+
+
+@pytest.mark.slow
+def test_train_then_validate_3d_dice_bar(tmp_path):
+    """3D end-to-end learnability with a real bar (VERDICT r2 #9): train a
+    hybrid conv/GNN 3D NexToU on structured synthetic volumes (intensity-
+    separated ellipsoids), run the full sliding-window validation, and
+    require foreground mean Dice >= 0.8 — not the 0.5 better-than-chance
+    blob bar of the 2D smoke test above."""
+    folder = str(tmp_path / "synth3d")
+    _make_structured_3d_dataset(folder, n_cases=6, seed=5)
+    out = str(tmp_path / "run3d")
+    cls = get_trainer_class("nnUNetTrainer_NexToU")
+    trainer = cls(
+        TINY_3D_PLANS,
+        "3d_tiny",
+        fold=0,
+        dataset_json={**DATASET_JSON, "numTraining": 6},
+        preprocessed_folder=folder,
+        output_folder=out,
+        compute_dtype=jnp.float32,
+        remat=False,
+        num_epochs=10,
+        num_iterations_per_epoch=25,
+        num_val_iterations_per_epoch=2,
+    )
+    trainer.loader_threads = 1
+    trainer.run_training()
+    summary = trainer.perform_actual_validation()
+    assert os.path.exists(
+        os.path.join(out, "validation", "summary.json")
+    )
+    assert summary["foreground_mean"]["Dice"] >= 0.8, summary["mean"]
