@@ -173,6 +173,96 @@ def _knn_max_pallas(xn, yn, yv, rel, *, k, tile_n, block_b, interpret):
     return out
 
 
+def _idx_kernel(x_ref, yn_ref, *refs, k: int, m_valid: int):
+    """Indices-only variant: same distance+serial-min search as `_kernel`,
+    but the winners' INDICES are the output — no per-round one-hot gather.
+
+    Why it exists: the gather matmuls are k*N*M*C FLOPs — at the pool
+    graphers' M (5-10k candidates) they are ~k/(k+1) of the fused kernel's
+    MXU work (854 GFLOP at the stage-3 shape), while the actual data needed
+    out is only (N, k) indices. For large M the cheap way is: kernel emits
+    indices, XLA gathers (B, N, k, C) and max-reduces — N*k*C memory work
+    with no M factor. Bonus: forward and backward then share one selection
+    (stop_gradient on the indices), eliminating the backward-selection
+    near-tie caveat of the fused path on exactly the shapes where it was
+    hardest to argue.
+    """
+    if len(refs) == 2:
+        rel_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+        rel_ref = None
+    x = x_ref[...]
+    yn = yn_ref[...]
+    bb, tile_n, _ = x.shape
+    m = yn.shape[1]
+
+    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    y_sq = jnp.sum(yn * yn, axis=-1, keepdims=True)
+    inner = jax.lax.dot_general(
+        x, yn, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dist = x_sq - 2.0 * inner + jnp.swapaxes(y_sq, 1, 2)
+    if rel_ref is not None:
+        dist = dist + rel_ref[:][None]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bb, tile_n, m), 2)
+    dist = jnp.where(col < m_valid, dist, jnp.inf)
+
+    big = jnp.float32(jnp.inf)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (bb, tile_n, out_ref.shape[2]), 2)
+
+    def body(j, carry):
+        dist, idxs = carry
+        mins = jnp.min(dist, axis=-1, keepdims=True)
+        amin = jnp.min(
+            jnp.where(dist == mins, col, m), axis=-1, keepdims=True
+        )
+        dist = jnp.where(col == amin, big, dist)
+        idxs = jnp.where(colk == j, amin, idxs)
+        return dist, idxs
+
+    _, idxs = jax.lax.fori_loop(
+        0, k, body,
+        (dist, jnp.zeros((bb, tile_n, out_ref.shape[2]), jnp.int32)),
+    )
+    out_ref[...] = idxs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "block_b", "interpret")
+)
+def _knn_indices_pallas(xn, yn, rel, *, k, tile_n, block_b, interpret):
+    """Top-k neighbor indices, (B, N, k) int32 (first-occurrence ties)."""
+    B, N, C = xn.shape
+    M = yn.shape[1]
+    grid = (pl.cdiv(B, block_b), pl.cdiv(N, tile_n))
+    kernel = functools.partial(_idx_kernel, k=k, m_valid=M)
+    in_specs = [
+        pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = (xn, yn)
+    if rel is not None:
+        in_specs.append(
+            pl.BlockSpec((tile_n, M), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands = operands + (rel,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, tile_n, k), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, k), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(*operands)
+
+
 def knn_max_neighbors_reference(
     x: jax.Array,
     k: int,
@@ -302,6 +392,65 @@ def knn_max_neighbors(
             + 4 * bb * t * M * 4
         )
 
+    # Dispatch order (all v5e-measured, tools/bench_knn_shapes.py +
+    # /tmp/tpu_knn_sweep round 3): (1) the fully fused kernel whenever its
+    # VMEM estimate fits — at every real flagship grapher shape (M <= 1344)
+    # it beats the indices path 2-4x because its "gather" is a dense one-hot
+    # MXU matmul while XLA's take on a (B, N, k) gather is irregular-slow;
+    # (2) the indices-only kernel + XLA gather when the fused candidate
+    # block can no longer fit (large M): its VMEM scales with tile*M, not
+    # M*C, and at N=M=10752 it measures 9.3 ms vs 221 ms for the XLA
+    # fallback (24x); (3) plain XLA. NEXTOU_KNN_IDX_M optionally FORCES the
+    # indices path at M >= threshold (tests use it; default off).
+    # On the indices path, selection carries no gradient (the reference
+    # builds the graph under no_grad); fwd and bwd share ONE selection, so
+    # the fused path's backward near-tie caveat does not exist there.
+    idx_threshold = int(os.environ.get("NEXTOU_KNN_IDX_M", "0") or 0)
+
+    def try_idx_path():
+        if k > M or (interpret and N * M > 1 << 22):
+            return None
+        tile = min(tile_n, _round_up(N, 8))
+
+        def est_idx_vmem(t: int) -> int:
+            rel_bytes = 2 * t * M * 4 if relative_pos is not None else 0
+            # x/yn blocks (double-buffered) + dist & temporaries (~3x t*M)
+            return 2 * (t + M) * C * 4 + rel_bytes + 3 * t * M * 4
+
+        while est_idx_vmem(tile) > (48 << 20) and tile > 8:
+            tile = _round_up(tile // 2, 8)
+        if est_idx_vmem(tile) > (48 << 20):
+            return None
+        xn = _l2_normalize(x.astype(jnp.float32), axis=-1)
+        yn = (
+            xn
+            if y is None
+            else _l2_normalize(y.astype(jnp.float32), axis=-1)
+        )
+        rel = (
+            None
+            if relative_pos is None
+            else jnp.broadcast_to(relative_pos.astype(jnp.float32), (N, M))
+        )
+        # stop_gradient on the INPUTS (not just the output): selection
+        # carries no gradient, and this keeps the pallas_call out of
+        # the autodiff path entirely (no JVP rule needed)
+        idx = _knn_indices_pallas(
+            jax.lax.stop_gradient(xn),
+            jax.lax.stop_gradient(yn),
+            None if rel is None else jax.lax.stop_gradient(rel),
+            k=k, tile_n=tile, block_b=1,
+            interpret=interpret,
+        )
+        return jnp.max(
+            batched_index_select(vals, idx), axis=2
+        ).astype(x.dtype)
+
+    if idx_threshold and M >= idx_threshold:
+        forced = try_idx_path()
+        if forced is not None:
+            return forced
+
     # Per-graph VMEM footprint (f32): candidate tiles (2x), query/out tiles,
     # plus dist/iota/onehot scratch (~4x tile*M).
     tile = min(tile_n, _round_up(N, 8))
@@ -320,7 +469,11 @@ def knn_max_neighbors(
     while est_vmem(block_b, tile) > (15 << 20) and tile > 8:
         tile = _round_up(tile // 2, 8)
     if est_vmem(block_b, tile) > (15 << 20) or k > M:
-        return fallback()
+        # fused kernel can't fit this M — the indices kernel (tile*M VMEM,
+        # no M*C candidate block) usually still can, and beats plain XLA 24x
+        # at N=M~10k (see dispatch note above)
+        out = try_idx_path()
+        return fallback() if out is None else out
 
     rel = (
         None

@@ -109,3 +109,40 @@ def test_kernel_batched_relative_pos_routes_to_reference():
     got = knn_max_neighbors(x, 5, relative_pos=rel)
     want = knn_max_neighbors_reference(x, 5, relative_pos=rel)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_indices_path_matches_reference(monkeypatch):
+    """Large-M dispatch: the indices-only kernel + XLA gather must equal the
+    reference (and the fused path). Threshold lowered so interpret-mode
+    shapes stay cheap."""
+    monkeypatch.setenv("NEXTOU_KNN_IDX_M", "64")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 48, 8)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((2, 96, 8)), jnp.float32)
+    got = knn_max_neighbors(x, 5, y=y)
+    want = knn_max_neighbors_reference(x, 5, y=y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # self-graph + relative-pos bias through the same branch
+    rel = jnp.asarray(rng.standard_normal((96, 96)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((1, 96, 8)), jnp.float32)
+    got = knn_max_neighbors(x2, 6, relative_pos=rel)
+    want = knn_max_neighbors_reference(x2, 6, relative_pos=rel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_indices_path_gradients(monkeypatch):
+    """The indices path differentiates through gather+max with the SAME
+    selection in fwd and bwd -- must match the reference VJP exactly."""
+    monkeypatch.setenv("NEXTOU_KNN_IDX_M", "64")
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 72, 8)), jnp.float32)
+
+    def loss_k(x):
+        return jnp.sum(knn_max_neighbors(x, 4) ** 2)
+
+    def loss_r(x):
+        return jnp.sum(knn_max_neighbors_reference(x, 4) ** 2)
+
+    gk = jax.grad(loss_k)(x)
+    gr = jax.grad(loss_r)(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)

@@ -110,8 +110,12 @@ def _make_structured_3d_dataset(folder: str, n_cases: int = 6, seed: int = 5):
             d = (((grid - center.reshape(3, 1, 1, 1))
                   / radii.reshape(3, 1, 1, 1)) ** 2).sum(0)
             seg[np.logical_and(d <= 1.0, seg == 0)] = c
+        # intensities equidistant by 2.0 (bg -1, c1 +1, c2 +3): a mid-point
+        # class (linspace -1..1 puts c1 at 0) is confusable with BOTH
+        # neighbors and takes ~10x longer to exit collapse — measured, not
+        # a framework property
         intensity = np.take(
-            np.linspace(-1.0, 1.0, 3).astype(np.float32), seg
+            np.array([-1.0, 1.0, 3.0], np.float32), seg
         )
         data = intensity + rng.normal(0, 0.15, shape).astype(np.float32)
         save_case(folder, f"case_{i:03d}", data[None], seg)
