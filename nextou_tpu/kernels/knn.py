@@ -354,7 +354,17 @@ def knn_max_neighbors(
     B, N, C = x.shape
     vals = x if y is None else y
     M = vals.shape[1]
-    platform = jax.devices()[0].platform
+    # Resolve where the computation will actually run: a `with
+    # jax.default_device(cpu)` scope (e.g. tools/verify_flagship_import.py's
+    # fp32-CPU oracle in a TPU process) must route to the XLA fallback even
+    # when the process default backend is TPU.
+    default_dev = jax.config.jax_default_device
+    if default_dev is None:
+        platform = jax.devices()[0].platform
+    elif isinstance(default_dev, str):  # jax also accepts platform names
+        platform = default_dev
+    else:
+        platform = default_dev.platform
     interpret = platform != "tpu"
 
     def fallback():

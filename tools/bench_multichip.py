@@ -7,7 +7,9 @@ correctness tests: DP train step (batch = n_devices, gradient/batch-Dice
 reductions as XLA collectives) and the mesh-sharded sliding-window tile
 pipeline, at mesh sizes 1/2/4/8. CPU wall-clock is NOT TPU wall-clock —
 the interesting number is the efficiency column (ideal = flat time as the
-batch grows with the mesh: weak scaling). Writes MULTICHIP_SCALING.json.
+batch grows with the mesh: weak scaling). Writes
+MULTICHIP_COMPILE_VALIDATION.json — a compile+execute validation artifact,
+not a scaling measurement (all virtual devices share one physical core).
 
 The intended v5e-8 deployment this models:
 - training: 1-D mesh ('data',), batch sharded, params replicated; the only
@@ -122,22 +124,17 @@ def main():
             f"sliding-window {t_sw:.3f}s (8 tiles, tile_batch {n})",
             flush=True,
         )
-    t1 = out["train_step_s"][0]
-    out["train_weak_scaling_efficiency"] = [
-        round(t1 / t, 3) for t in out["train_step_s"]
-    ]
-    s1 = out["sliding_window_s"][0]
-    out["sliding_window_speedup"] = [
-        round(s1 / t, 3) for t in out["sliding_window_s"]
-    ]
-    out["note"] = (
-        "virtual 8-device CPU mesh (1 physical core on this box: wall times "
-        "overlap on one core, so ideal weak-scaling efficiency is 1/n here; "
-        "the artifact demonstrates the sharded programs compile+run at every "
-        "mesh size; numerical equivalence is covered by tests/test_sharding)"
+    out["what_this_is"] = (
+        "COMPILE+EXECUTE VALIDATION ONLY, NOT a scaling measurement: all "
+        "mesh sizes run as virtual devices on ONE physical CPU core, so "
+        "wall-times serialize and carry no speedup information. The "
+        "artifact proves the sharded train step and tile-sharded sliding "
+        "window compile and execute at every mesh size 1/2/4/8; "
+        "sharded==single-device numerics are covered by "
+        "tests/test_sharding.py and tests/test_trainer_multidevice.py."
     )
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "MULTICHIP_SCALING.json")
+        os.path.abspath(__file__))), "MULTICHIP_COMPILE_VALIDATION.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

@@ -43,6 +43,12 @@ def main():
     from torch import nn as tnn
 
     import jax
+
+    # The axon TPU plugin force-registers itself and UNregisters the cpu
+    # backend; this script needs both (fp32-CPU oracle + bf16-TPU serving
+    # path), so re-enable cpu alongside it (axon first keeps tpu default).
+    jax.config.update("jax_platforms", "axon,cpu")
+
     import jax.numpy as jnp
 
     from nextou_tpu.compat.torch_import import (
