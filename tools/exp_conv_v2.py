@@ -110,16 +110,39 @@ def _kernel(x_hbm, w_ref, out_ref, slab, patches, sem, *,
     b = pl.program_id(0)
     d = pl.program_id(1)
     ht = pl.program_id(2)
+    n_d = pl.num_programs(1)
+    n_ht = pl.num_programs(2)
+    total = pl.num_programs(0) * n_d * n_ht
+    step = (b * n_d + d) * n_ht + ht
     TH_in = TH + kh_span - 1
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(d, kd_span), :, pl.ds(ht * TH * Wp, TH_in * Wp)],
-        slab,
-        sem,
-    )
-    dma.start()
-    dma.wait()
 
-    x = slab[...]  # (kd_span, Cf, TH_in*Wp)
+    # Double-buffered slab DMA across grid steps: scratch + semaphores
+    # persist between (sequential) steps, so step i prefetches step i+1's
+    # slab while computing — the per-step HBM fetch is hidden behind the
+    # MXU instead of serializing with it.
+    def get_dma(slot, s):
+        bb = s // (n_d * n_ht)
+        rem = s % (n_d * n_ht)
+        dd = rem // n_ht
+        hh = rem % n_ht
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(dd, kd_span), :,
+                     pl.ds(hh * TH * Wp, TH_in * Wp)],
+            slab.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        get_dma((step + 1) % 2, step + 1).start()
+
+    get_dma(step % 2, step).wait()
+
+    x = slab[step % 2]  # (kd_span, Cf, TH_in*Wp)
     rolled_cache = {}
 
     def rolled_for(shift):
@@ -139,9 +162,50 @@ def _kernel(x_hbm, w_ref, out_ref, slab, patches, sem, *,
         rolled_cache[shift] = r
         return r
 
+    acc = jnp.zeros((Co, TH * Wp), jnp.float32)
+    if n_chunks == -2:
+        # OUTPUT-ROLL mode (stride-1 (3,3,3)): dots read direct aligned
+        # slices of the UNrolled slab; the lane shift for tap kw is applied
+        # to the (Co, TH*Wp) f32 partial result instead (native 32-bit
+        # roll, ~35x fewer bytes than rolling the slab, no dtype round
+        # trips). Wrap-around bleed lands in / comes from zeroed pad lanes
+        # (Wp >= W+3), which from_cf_flat discards.
+        x2 = x.reshape(kd_span * x.shape[1], TH_in * Wp)
+        KC = kd_span * cpt
+        for g in range(9):
+            kh, kw = divmod(g, 3)
+            y = jax.lax.dot_general(
+                w_ref[:, g * KC: (g + 1) * KC],
+                x2[:, kh * Wp: kh * Wp + TH * Wp],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if kw != 1:
+                y = pltpu.roll(y, (1 - kw) % (TH * Wp), 1)
+            acc = acc + y
+        out_ref[...] = acc.reshape(1, 1, Co, TH * Wp).astype(out_ref.dtype)
+        return
+    if n_chunks == -1:
+        # ZERO-COPY mode (stride-1 (3,3,3) only): no patch materialization.
+        # The rolled slab viewed as (kd_span*Cf, TH_in*Wp) already IS a
+        # valid stationary operand for each (kh, kw) tap group -- rows are
+        # all (kd, c) pairs, the lane window [kh*Wp, kh*Wp+TH*Wp) is
+        # 128-aligned. 9 accumulating dots of K = kd_span*cpt replace the
+        # 1 big dot + 27 slab->patches copies.
+        KC = kd_span * cpt
+        for g in range(9):
+            kh, kw = divmod(g, 3)
+            r = rolled_for(1 - kw).reshape(kd_span * x.shape[1], TH_in * Wp)
+            acc = acc + jax.lax.dot_general(
+                w_ref[:, g * KC: (g + 1) * KC],
+                r[:, kh * Wp: kh * Wp + TH * Wp],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[...] = acc.reshape(1, 1, Co, TH * Wp).astype(out_ref.dtype)
+        return
     nc = n_chunks or 1
     per = (len(taps) + nc - 1) // nc
-    acc = jnp.zeros((Co, TH * Wp), jnp.float32)
     for c in range(nc):
         chunk = taps[c * per: (c + 1) * per]
         if not chunk:
@@ -189,9 +253,11 @@ def conv_cf_flat(xcf, w2, *, taps, spans, cpt, W, TH=8, interpret=False,
     assert K == len(taps) * cpt, (K, len(taps), cpt)
     assert H_out % TH == 0, (H_out, TH)
 
-    nc = n_chunks or 1
+    nc = n_chunks if n_chunks > 0 else 1
     per = (len(taps) + nc - 1) // nc
-    nbuf = 2 if n_chunks else 1
+    nbuf = 2 if n_chunks > 0 else 1
+    if n_chunks < 0:
+        per, nbuf = 1, 1  # zero-copy: patches scratch unused (minimal alloc)
     body = functools.partial(
         _kernel, taps=taps, cpt=cpt, TH=TH, Co=Co, Wp=Wp,
         kd_span=kd_span, kh_span=kh_span, n_chunks=n_chunks,
@@ -213,9 +279,9 @@ def conv_cf_flat(xcf, w2, *, taps, spans, cpt, W, TH=8, interpret=False,
         ),
         out_shape=jax.ShapeDtypeStruct((B, D_out, Co, H_out * Wp), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((kd_span, Cf, (TH + kh_span - 1) * Wp), xcf.dtype),
+            pltpu.VMEM((2, kd_span, Cf, (TH + kh_span - 1) * Wp), xcf.dtype),
             pltpu.VMEM((nbuf, per * cpt, TH * Wp), xcf.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -288,6 +354,17 @@ def pack_weights(w, taps_order, cpt, C, dtype=jnp.bfloat16):
     return jnp.asarray(wp.reshape(n * cpt, Co).T, dtype)
 
 
+def pack_weights_zc(w, cpt, C, dtype=jnp.bfloat16):
+    """Zero-copy order: K index = ((kh*3 + kw)*kd_span + kd)*cpt + c, so
+    each (kh, kw) tap group is one contiguous (Co, kd_span*cpt) block whose
+    rows match the (kd, c) layout of the flattened slab."""
+    kd, kh, kw, _, Co = w.shape
+    wp = np.zeros((kh, kw, kd, cpt, Co), np.float32)
+    wp[:, :, :, :C] = np.transpose(np.asarray(w, np.float32),
+                                   (1, 2, 0, 3, 4))
+    return jnp.asarray(wp.reshape(kh * kw * kd * cpt, Co).T, dtype)
+
+
 # --------------------------------------------------------------------- #
 # check / bench
 # --------------------------------------------------------------------- #
@@ -306,8 +383,12 @@ def run_pallas(x, w, strides, TH, n_chunks, interpret, dtype):
     C, Co = w.shape[3], w.shape[4]
     xcf, meta = to_cf_flat(x, ks, strides, dtype=dtype)
     taps, spans, _ = make_taps(ks, strides, meta["cpt"])
-    w2 = pack_weights(np.asarray(w, np.float32), taps, meta["cpt"], C,
-                      dtype=dtype)
+    if n_chunks < 0:
+        w2 = pack_weights_zc(np.asarray(w, np.float32), meta["cpt"], C,
+                             dtype=dtype)
+    else:
+        w2 = pack_weights(np.asarray(w, np.float32), taps, meta["cpt"], C,
+                          dtype=dtype)
     ycf = conv_cf_flat(
         xcf, w2, taps=taps, spans=spans, cpt=meta["cpt"], W=meta["W"],
         TH=TH, interpret=interpret, out_dtype=dtype, n_chunks=n_chunks,
@@ -328,7 +409,8 @@ def check():
         x = rng.standard_normal((B, D, H, W, C)).astype(np.float32)
         w = (rng.standard_normal((*ks, C, Co)) * 0.1).astype(np.float32)
         want = np.asarray(conv_ref(jnp.asarray(x), jnp.asarray(w), st))
-        for nc in (0, 3):
+        ncs = (0, 3, -1, -2) if (ks == (3, 3, 3) and st == (1, 1, 1)) else (0, 3)
+        for nc in ncs:
             got = np.asarray(run_pallas(
                 jnp.asarray(x), jnp.asarray(w), st, TH, nc, interpret,
                 jnp.float32,
@@ -381,19 +463,79 @@ def bench():
         xcf, meta = to_cf_flat(x, ks, st)
         taps, spans, _ = make_taps(ks, st, meta["cpt"])
         w2 = pack_weights(np.asarray(w, np.float32), taps, meta["cpt"], C)
+        w2zc = (pack_weights_zc(np.asarray(w, np.float32), meta["cpt"], C)
+                if (ks == (3, 3, 3) and st == (1, 1, 1)) else None)
         row = f"{name}: XLA {dt_x*1e3:7.2f} ms ({flops/dt_x/1e12:5.1f} TF/s)"
-        for nc in (0, 3, 9):
+        for nc in (0, 3, -1, -2):
+            if nc < 0 and w2zc is None:
+                continue
             f = functools.partial(
                 conv_cf_flat, taps=taps, spans=spans, cpt=meta["cpt"],
                 W=meta["W"], TH=TH, n_chunks=nc,
             )
-            dt_p = device_loop_time(lambda t: f(t, w2), xcf,
+            wsel = w2zc if nc < 0 else w2
+            dt_p = device_loop_time(lambda t: f(t, wsel), xcf,
                                     n_small=1, n_large=6, repeats=2)
             row += (f" | nc{nc} {dt_p*1e3:7.2f} ms"
                     f" ({flops/dt_p/1e12:5.1f} TF/s)")
         print(row, flush=True)
 
 
+def benchwrap():
+    """Channels-last in/out: layout conversions INSIDE the jit, so this is
+    the cost of dropping the kernel into the model as a plain conv
+    replacement (transposes not amortized across consecutive convs)."""
+    from nextou_tpu.utils.timing import device_loop_time
+
+    which = sys.argv[2] if len(sys.argv) > 2 else None
+    B = 2
+    shapes = [
+        ("e1b", (64, 96, 112), 66, 66, (3, 3, 3), (1, 1, 1)),
+        ("d1", (64, 96, 112), 132, 66, (3, 3, 3), (1, 1, 1)),
+        ("d2", (32, 48, 56), 264, 132, (3, 3, 3), (1, 1, 1)),
+        ("e1a", (64, 192, 224), 33, 66, (3, 3, 3), (1, 2, 2)),
+        ("e2a", (64, 96, 112), 66, 132, (3, 3, 3), (2, 2, 2)),
+    ]
+    rng = np.random.default_rng(0)
+    for name, sp, C, Co, ks, st in shapes:
+        if which and name != which:
+            continue
+        D, H, W = sp
+        Ho = H // st[1]
+        TH = 8 if Ho % 8 == 0 else 4
+        x = jnp.asarray(
+            rng.standard_normal((B, D, H, W, C)), jnp.bfloat16
+        )
+        w = jnp.asarray(
+            rng.standard_normal((*ks, C, Co)) * 0.05, jnp.bfloat16
+        )
+        out_sp = D // st[0] * Ho * (W // st[2])
+        flops = 2 * B * out_sp * int(np.prod(ks)) * C * Co
+
+        dt_x = device_loop_time(
+            lambda x: conv_ref(x, w, st).astype(jnp.bfloat16), x,
+            n_small=1, n_large=6, repeats=2,
+        )
+        # weights packed once outside (as the model would at param load)
+        cpt = _round_up(C, 16)
+        taps, spans, _ = make_taps(ks, st, cpt)
+        w2 = pack_weights(np.asarray(w, np.float32), taps, cpt, C)
+        row = f"{name}: XLA {dt_x*1e3:7.2f} ms ({flops/dt_x/1e12:5.1f} TF/s)"
+        for nc in (0, 3):
+            def wrapped(t, nc=nc):
+                xcf, meta = to_cf_flat(t, ks, st)
+                ycf = conv_cf_flat(
+                    xcf, w2, taps=taps, spans=spans, cpt=meta["cpt"],
+                    W=meta["W"], TH=TH, n_chunks=nc,
+                )
+                return from_cf_flat(ycf, meta, Co)
+            dt_p = device_loop_time(wrapped, x, n_small=1, n_large=6,
+                                    repeats=2)
+            row += (f" | wrap-nc{nc} {dt_p*1e3:7.2f} ms"
+                    f" ({flops/dt_p/1e12:5.1f} TF/s)")
+        print(row, flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
-    (check if mode == "check" else bench)()
+    {"check": check, "bench": bench, "benchwrap": benchwrap}[mode]()
