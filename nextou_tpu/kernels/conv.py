@@ -183,6 +183,26 @@ def _kernel(x_hbm, w_ref, out_ref, slab, patches, sem, *,
             acc = acc + y
         out_ref[...] = acc.reshape(1, 1, Co, TH * Wp).astype(out_ref.dtype)
         return
+    if n_chunks == -1:
+        # ZERO-COPY mode (stride-1 (3,3,3) only): no patch materialization
+        # at all. The rolled slab viewed as (kd_span*Cf, TH_in*Wp) already
+        # IS a valid stationary operand for each (kh, kw) tap group — rows
+        # are all (kd, c) pairs, the lane window [kh*Wp, kh*Wp+TH*Wp) is
+        # 128-aligned. 9 accumulating dots of K = kd_span*cpt replace the
+        # 1 big dot + 27 slab->patches copies. Weights in pack_weights_zc
+        # order. Best stride-1 mode measured (e1b 7.19 ms vs 8.2 XLA).
+        KC = kd_span * cpt
+        for g in range(9):
+            kh, kw = divmod(g, 3)
+            r = rolled_for(1 - kw).reshape(kd_span * x.shape[1], TH_in * Wp)
+            acc = acc + jax.lax.dot_general(
+                w_ref[:, g * KC: (g + 1) * KC],
+                r[:, kh * Wp: kh * Wp + TH * Wp],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[...] = acc.reshape(1, 1, Co, TH * Wp).astype(out_ref.dtype)
+        return
     nc = n_chunks or 1
     per = (len(taps) + nc - 1) // nc
     for c in range(nc):
@@ -236,7 +256,7 @@ def conv_cf_flat(xcf, w2, *, taps, spans, cpt, W, TH=8, interpret=False,
     per = (len(taps) + nc - 1) // nc
     nbuf = 2 if n_chunks > 0 else 1
     if n_chunks < 0:
-        per, nbuf = 1, 1  # output-roll: patches scratch unused (min alloc)
+        per, nbuf = 1, 1  # zc/output-roll: patches scratch unused (min alloc)
     body = functools.partial(
         _kernel, taps=taps, cpt=cpt, TH=TH, Co=Co, Wp=Wp,
         kd_span=kd_span, kh_span=kh_span, n_chunks=n_chunks,
@@ -360,9 +380,9 @@ def _xla_conv(x, w, strides):
 def _pallas_fwd(x, w, strides, n_chunks, interpret):
     ks = w.shape[:3]
     Co = w.shape[4]
-    if n_chunks == -2:
+    if n_chunks < 0:
         assert tuple(ks) == (3, 3, 3) and tuple(strides) == (1, 1, 1), (
-            "output-roll mode is stride-1 (3,3,3) only")
+            "zero-copy/output-roll modes are stride-1 (3,3,3) only")
     xcf, meta = to_cf_flat(x, ks, strides)
     taps, spans, _ = make_taps(ks, strides, meta["cpt"])
     if n_chunks < 0:
@@ -407,6 +427,18 @@ pallas_conv.defvjp(_vjp_fwd, _vjp_bwd)
 # --------------------------------------------------------------------- #
 # dispatch policy
 # --------------------------------------------------------------------- #
+
+def runtime_platform() -> str:
+    """Platform the computation will actually run on: honors a
+    ``jax.default_device`` scope (e.g. an fp32-CPU oracle inside a TPU
+    process) over the process default backend. Same resolution as
+    ``kernels/knn.py``."""
+    default_dev = jax.config.jax_default_device
+    if default_dev is None:
+        return jax.devices()[0].platform
+    if isinstance(default_dev, str):  # jax also accepts platform names
+        return default_dev
+    return default_dev.platform
 
 def pallas_conv_wins(in_spatial, C, Co, kernel_shape, strides) -> bool:
     """True where the Pallas kernel beat the model's actual XLA lowering in

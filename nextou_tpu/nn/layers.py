@@ -148,7 +148,37 @@ class FoldedConv(nn.Module):
                 if s_ == 2
             )
         )
-        if phase_ok:
+        pallas_mode = os.environ.get("NEXTOU_PALLAS_CONV", "0")
+        pallas_ok = (
+            nd == 3
+            and n_fold == 0
+            and kk == (3, 3, 3)
+            and all(p_ == (1, 1) for p_ in pp)
+            and pallas_mode in ("1", "s1")
+            and (pallas_mode == "1" or all(s_ == 1 for s_ in ss))
+        )
+        if pallas_ok:
+            from nextou_tpu.kernels.conv import (
+                pallas_conv, pallas_conv_wins, runtime_platform,
+            )
+            pallas_ok = runtime_platform() == "tpu" and pallas_conv_wins(
+                x.shape[1:4], x.shape[-1], self.features, kk, ss
+            )
+        if pallas_ok:
+            # Tap-list Pallas kernel (kernels/conv.py) on the shapes where
+            # it beat XLA's conv lowering STANDALONE on v5e (PERF.md): the
+            # large-spatial (3,3,3) stages. Zero-copy mode for stride-1
+            # (9 accumulating dots off the rolled slab), chunked
+            # double-buffered patch assembly for the s2d-folded strided
+            # form. Backward is XLA's own conv vjp (numerics match the
+            # fallback exactly). OPT-IN (NEXTOU_PALLAS_CONV=1, or "s1" for
+            # stride-1 shapes only): the round-3 in-model A/B
+            # (tools/exp_ab_pallas_conv.py) measured the full dispatch at
+            # x0.878 of the XLA baseline — the standalone win does not
+            # survive the lost conv+epilogue fusion in context.
+            nc = -1 if all(s_ == 1 for s_ in ss) else 3
+            y = pallas_conv(x, kernel, ss, nc)
+        elif phase_ok:
             # polyphase decomposition: a stride-2 k=3 pad-1 axis splits into
             # an even phase (center tap, stride-1) and an odd phase (outer
             # taps, kernel 2, pad (1,0)) — a SUM of stride-1 convs with no

@@ -18,6 +18,8 @@ from nextou_tpu.kernels.conv import (
 CASES = [
     # B, spatial, C, Co, kernel, strides, n_chunks
     (1, (4, 16, 120), 5, 7, (3, 3, 3), (1, 1, 1), 0),
+    (1, (4, 16, 120), 5, 7, (3, 3, 3), (1, 1, 1), -1),  # zero-copy
+    (1, (4, 16, 120), 5, 7, (3, 3, 3), (1, 1, 1), -2),  # output-roll
     (2, (3, 8, 126), 33, 33, (1, 3, 3), (1, 1, 1), 3),
     (1, (4, 32, 64), 9, 8, (3, 3, 3), (1, 2, 2), 0),
     (1, (8, 16, 32), 7, 10, (3, 3, 3), (2, 2, 2), 3),

@@ -284,9 +284,9 @@ def test_shuffle_conv_transpose_env_fallback(monkeypatch):
             rng.standard_normal(v["params"]["kernel"].shape), jnp.float32),
         "bias": jnp.asarray(rng.standard_normal((7,)), jnp.float32),
     }}
-    monkeypatch.delenv("NEXTOU_SHUFFLE_TRANSPCONV", raising=False)
+    monkeypatch.setenv("NEXTOU_SHUFFLE_TRANSPCONV", "1")  # pixel-shuffle
     want = mod.apply(v, x)
-    monkeypatch.setenv("NEXTOU_SHUFFLE_TRANSPCONV", "0")
+    monkeypatch.setenv("NEXTOU_SHUFFLE_TRANSPCONV", "0")  # lax.conv_transpose
     got = mod.apply(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-6)
@@ -427,7 +427,9 @@ def test_lowering_env_knobs_actually_switch_paths(monkeypatch):
 
     tc = ShuffleConvTranspose(features=6, kernel_size=(2, 2, 2),
                               strides=(2, 2, 2))
-    assert jaxpr_of(tc, x3) != jaxpr_of(tc, x3, NEXTOU_SHUFFLE_TRANSPCONV="0")
+    # default flipped to OFF after the round-3 in-model A/B (PERF.md):
+    # plain lax.conv_transpose is the default, "1" opts INTO pixel-shuffle
+    assert jaxpr_of(tc, x3) != jaxpr_of(tc, x3, NEXTOU_SHUFFLE_TRANSPCONV="1")
 
     inorm = InstanceNorm()
     assert jaxpr_of(inorm, x3) != jaxpr_of(inorm, x3, NEXTOU_ONEPASS_IN="1")
