@@ -43,7 +43,12 @@ def pairwise_sq_dist(x: jax.Array) -> jax.Array:
     Returns:
         ``(B, N, N)`` squared distances (reference ``torch_edge.py:12-23``).
     """
-    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)  # (B, N, 1)
+    # square-sums accumulate in f32 even for bf16 coordinates (bf16
+    # accumulation over C terms adds per-ROW noise that shifts the argmin
+    # ordering via the candidate term; see kernels/knn.py::_coord_dtype)
+    sq = jnp.sum(
+        jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True
+    )  # (B, N, 1)
     inner = jnp.einsum(
         "bnc,bmc->bnm", x, x, preferred_element_type=jnp.float32
     )
@@ -59,8 +64,13 @@ def xy_pairwise_sq_dist(x: jax.Array, y: jax.Array) -> jax.Array:
     Returns:
         ``(B, N, M)`` (reference ``torch_edge.py:42-55``).
     """
-    x_sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)  # (B, N, 1)
-    y_sq = jnp.sum(jnp.square(y), axis=-1, keepdims=True)  # (B, M, 1)
+    # f32-accumulated square-sums (see pairwise_sq_dist)
+    x_sq = jnp.sum(
+        jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True
+    )  # (B, N, 1)
+    y_sq = jnp.sum(
+        jnp.square(y.astype(jnp.float32)), axis=-1, keepdims=True
+    )  # (B, M, 1)
     inner = jnp.einsum(
         "bnc,bmc->bnm", x, y, preferred_element_type=jnp.float32
     )

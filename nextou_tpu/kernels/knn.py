@@ -65,8 +65,16 @@ def _kernel(x_ref, yn_ref, yv_ref, *refs, k: int, m_valid: int):
     bb, tile_n, _ = x.shape
     m = yn.shape[1]
 
-    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (BB, TILE_N, 1)
-    y_sq = jnp.sum(yn * yn, axis=-1, keepdims=True)  # (BB, M, 1)
+    # Square-sums accumulate in f32 regardless of the coordinate dtype
+    # (bf16 accumulation over C terms injects per-CANDIDATE noise into
+    # y_sq, which unlike x_sq shifts the argmin ordering). The inner
+    # product runs in the coordinate dtype: bf16 coordinates make it a
+    # 1-pass MXU dot (the AMP reference's fp16 matmul analog); f32
+    # coordinates keep the exact multi-pass form.
+    xf = x.astype(jnp.float32)
+    ynf = yn.astype(jnp.float32)
+    x_sq = jnp.sum(xf * xf, axis=-1, keepdims=True)  # (BB, TILE_N, 1)
+    y_sq = jnp.sum(ynf * ynf, axis=-1, keepdims=True)  # (BB, M, 1)
     inner = jax.lax.dot_general(
         x, yn, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -197,8 +205,12 @@ def _idx_kernel(x_ref, yn_ref, *refs, k: int, m_valid: int):
     bb, tile_n, _ = x.shape
     m = yn.shape[1]
 
-    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)
-    y_sq = jnp.sum(yn * yn, axis=-1, keepdims=True)
+    # f32-accumulated square-sums + coordinate-dtype inner product,
+    # mirroring `_kernel` (see comment there).
+    xf = x.astype(jnp.float32)
+    ynf = yn.astype(jnp.float32)
+    x_sq = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    y_sq = jnp.sum(ynf * ynf, axis=-1, keepdims=True)
     inner = jax.lax.dot_general(
         x, yn, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -263,6 +275,25 @@ def _knn_indices_pallas(xn, yn, rel, *, k, tile_n, block_b, interpret):
     )(*operands)
 
 
+def _coord_dtype(raw_dtype) -> jnp.dtype:
+    """Dtype the *normalized coordinates* are held in for selection.
+
+    bf16 models select on bf16-rounded normalized features (the inner
+    product becomes a 1-pass MXU dot — the analog of the AMP reference's
+    fp16 distance matmul, torch_edge.py under autocast; square-sums still
+    accumulate in f32, see `_kernel`). Any other model dtype keeps exact
+    f32 coordinates. NEXTOU_KNN_BF16=0 reverts to f32 everywhere. Applied
+    IDENTICALLY to the fused kernel and the XLA fallback so the two paths
+    stay mutually consistent.
+    """
+    if (
+        raw_dtype == jnp.bfloat16
+        and os.environ.get("NEXTOU_KNN_BF16", "1") == "1"
+    ):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def knn_max_neighbors_reference(
     x: jax.Array,
     k: int,
@@ -270,8 +301,13 @@ def knn_max_neighbors_reference(
     relative_pos: jax.Array | None = None,
 ) -> jax.Array:
     """Pure-XLA fallback: normalize, kNN, gather, max over neighbors."""
-    xn = _l2_normalize(x.astype(jnp.float32), axis=-1)
-    yn = xn if y is None else _l2_normalize(y.astype(jnp.float32), axis=-1)
+    cdt = _coord_dtype(x.dtype)
+    xn = _l2_normalize(x.astype(jnp.float32), axis=-1).astype(cdt)
+    yn = (
+        xn
+        if y is None
+        else _l2_normalize(y.astype(jnp.float32), axis=-1).astype(cdt)
+    )
     idx = dense_knn(xn, k, y=None if y is None else yn, relative_pos=relative_pos)
     vals = x if y is None else y
     return jnp.max(batched_index_select(vals, idx), axis=2)
@@ -299,8 +335,9 @@ def knn_max_neighbors_reference(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _knn_max_fused(k: int, tile_n: int, block_b: int, interpret: bool, x, y, rel):
-    xn = _l2_normalize(x.astype(jnp.float32), axis=-1)
-    yn = _l2_normalize(y.astype(jnp.float32), axis=-1)
+    cdt = _coord_dtype(x.dtype)
+    xn = _l2_normalize(x.astype(jnp.float32), axis=-1).astype(cdt)
+    yn = _l2_normalize(y.astype(jnp.float32), axis=-1).astype(cdt)
     # keep the *values* in bf16 when that's the model dtype: the selection
     # matmul gathers them exactly (see _kernel), at bf16 MXU rates and half
     # the VMEM; any other dtype goes through f32 as before.
@@ -320,8 +357,9 @@ def _knn_max_fused_bwd(k, tile_n, block_b, interpret, res, g):
     x, y, rel = res
 
     def ref(xv, yv):
-        xn = _l2_normalize(xv.astype(jnp.float32), axis=-1)
-        yn = _l2_normalize(yv.astype(jnp.float32), axis=-1)
+        cdt = _coord_dtype(xv.dtype)
+        xn = _l2_normalize(xv.astype(jnp.float32), axis=-1).astype(cdt)
+        yn = _l2_normalize(yv.astype(jnp.float32), axis=-1).astype(cdt)
         idx = dense_knn(xn, k, y=yn, relative_pos=rel)
         return jnp.max(batched_index_select(yv, idx), axis=2).astype(xv.dtype)
 
@@ -339,7 +377,7 @@ def knn_max_neighbors(
     y: jax.Array | None = None,
     relative_pos: jax.Array | None = None,
     *,
-    tile_n: int = 256,
+    tile_n: int | None = None,
 ) -> jax.Array:
     """Per-channel max over the k nearest neighbors of each node.
 
@@ -348,6 +386,12 @@ def knn_max_neighbors(
         y: optional (B, M, C) candidate set (raw); defaults to ``x``.
         relative_pos: optional (N, M) additive distance bias; a per-batch
             (B, N, M) bias is accepted and routed to the XLA path.
+        tile_n: query-tile rows per grid step. ``None`` (production) sizes
+            it automatically: the kernel's serial k-round loop is LATENCY
+            bound per grid step (round-3 trace), so fewer/bigger grid steps
+            win — grow the tile while the VMEM estimate stays inside
+            ``NEXTOU_KNN_VMEM_MB`` (default 28, v5e-swept). An explicit
+            value pins it (the sweep tool uses this).
     Returns:
         (B, N, C) in x.dtype.
     """
@@ -388,16 +432,19 @@ def knn_max_neighbors(
     # y itself is bf16 (knn.py:175) — estimating from x.dtype would
     # undercount VMEM for a mixed-dtype (bf16 x, f32 y) call
     val_bytes = 2 if vals.dtype == jnp.bfloat16 else 4
+    # coordinate blocks (xn/yn) are held at the selection dtype
+    coord_bytes = 2 if _coord_dtype(x.dtype) == jnp.bfloat16 else 4
 
     def est_vmem(bb: int, t: int) -> int:
         # double-buffered operand/output blocks + rel (when present) +
         # dist/iota/onehot/argmin scratch (~4x the distance tile);
         # calibrated against the v5e compiler's scoped-vmem accounting for
-        # the serial kernel body. yn is f32, yv the value dtype.
+        # the serial kernel body. yn at coord dtype, yv the value dtype,
+        # out f32.
         rel_bytes = 2 * t * M * 4 if relative_pos is not None else 0
         return (
-            2 * bb * M * C * (4 + val_bytes)
-            + 2 * bb * 2 * t * C * 4
+            2 * bb * M * C * (coord_bytes + val_bytes)
+            + 2 * bb * t * C * (coord_bytes + 4)
             + rel_bytes
             + 4 * bb * t * M * 4
         )
@@ -417,25 +464,34 @@ def knn_max_neighbors(
     # the fused path's backward near-tie caveat does not exist there.
     idx_threshold = int(os.environ.get("NEXTOU_KNN_IDX_M", "0") or 0)
 
+    auto_tile = tile_n is None
+    tile_req = 256 if auto_tile else tile_n
+    vmem_budget = (
+        int(os.environ.get("NEXTOU_KNN_VMEM_MB", "28") or 28) << 20
+    )
+    bb_budget = int(os.environ.get("NEXTOU_KNN_BB_MB", "11") or 11) << 20
+
     def try_idx_path():
         if k > M or (interpret and N * M > 1 << 22):
             return None
-        tile = min(tile_n, _round_up(N, 8))
+        tile = min(tile_req, _round_up(N, 8))
 
         def est_idx_vmem(t: int) -> int:
             rel_bytes = 2 * t * M * 4 if relative_pos is not None else 0
             # x/yn blocks (double-buffered) + dist & temporaries (~3x t*M)
-            return 2 * (t + M) * C * 4 + rel_bytes + 3 * t * M * 4
+            cb = 2 if _coord_dtype(x.dtype) == jnp.bfloat16 else 4
+            return 2 * (t + M) * C * cb + rel_bytes + 3 * t * M * 4
 
         while est_idx_vmem(tile) > (48 << 20) and tile > 8:
             tile = _round_up(tile // 2, 8)
         if est_idx_vmem(tile) > (48 << 20):
             return None
-        xn = _l2_normalize(x.astype(jnp.float32), axis=-1)
+        cdt = _coord_dtype(x.dtype)
+        xn = _l2_normalize(x.astype(jnp.float32), axis=-1).astype(cdt)
         yn = (
             xn
             if y is None
-            else _l2_normalize(y.astype(jnp.float32), axis=-1)
+            else _l2_normalize(y.astype(jnp.float32), axis=-1).astype(cdt)
         )
         rel = (
             None
@@ -461,24 +517,34 @@ def knn_max_neighbors(
         if forced is not None:
             return forced
 
-    # Per-graph VMEM footprint (f32): candidate tiles (2x), query/out tiles,
+    # Per-graph VMEM footprint: candidate tiles (2x), query/out tiles,
     # plus dist/iota/onehot scratch (~4x tile*M).
-    tile = min(tile_n, _round_up(N, 8))
+    tile = min(tile_req, _round_up(N, 8))
 
     # Small graphs (Swin windows: N = M = prod(window)) underfill the MXU
     # one-at-a-time; batch several per grid step within the VMEM budget.
     block_b = 1
     if N <= 512:
-        while block_b * 2 <= B and est_vmem(block_b * 2, tile) <= 11 << 20:
+        while block_b * 2 <= B and est_vmem(block_b * 2, tile) <= bb_budget:
             block_b *= 2
+    elif auto_tile:
+        # large graphs: the k-round serial loop is latency-bound per grid
+        # step — grow the query tile (fewer, fatter grid steps) while the
+        # footprint fits the budget
+        while (
+            tile < _round_up(N, 8)
+            and tile < 2048
+            and est_vmem(block_b, tile * 2) <= vmem_budget
+        ):
+            tile *= 2
     if interpret and (N * M > 1 << 22):
         # interpreter mode is slow; don't run huge shapes off-TPU
         return fallback()
-    # large graphs: shrink the query tile until the footprint fits before
-    # giving up on the kernel (the candidate block is the irreducible part)
-    while est_vmem(block_b, tile) > (15 << 20) and tile > 8:
+    # shrink the query tile until the footprint fits before giving up on
+    # the kernel (the candidate block is the irreducible part)
+    while est_vmem(block_b, tile) > vmem_budget and tile > 8:
         tile = _round_up(tile // 2, 8)
-    if est_vmem(block_b, tile) > (15 << 20) or k > M:
+    if est_vmem(block_b, tile) > vmem_budget or k > M:
         # fused kernel can't fit this M — the indices kernel (tile*M VMEM,
         # no M*C candidate block) usually still can, and beats plain XLA 24x
         # at N=M~10k (see dispatch note above)

@@ -15,6 +15,7 @@ Optionally remats each stage to trade FLOPs for HBM during training.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -186,7 +187,15 @@ class SegHead(nn.Module):
                 (1, self.num_classes) + (1,) * self.spatial_dims
             )
         out = x.astype(dt) @ w + bias.astype(dt)
-        return out.astype(jnp.float32)
+        # Emit logits in the compute dtype: the inference path softmaxes in
+        # f32 anyway (infer/sliding_window.py upcasts), and a bf16 logit
+        # volume is half the HBM + none of the f32 layout copies the round-3
+        # trace showed at full res. Parity: the torch reference's final conv
+        # under autocast emits fp16 logits too. NEXTOU_F32_LOGITS=1 restores
+        # the old f32 emission (f32-dtype models are unaffected either way).
+        if os.environ.get("NEXTOU_F32_LOGITS", "0") == "1":
+            return out.astype(jnp.float32)
+        return out
 
 
 _REMAT_BIG_BYTES = 64 * 1024 * 1024  # bf16 bytes per batch element

@@ -120,13 +120,20 @@ class FoldedConv(nn.Module):
         kernel = kernel.astype(dt)
 
         n_fold = 0
-        while (
-            n_fold < len(k) - 1
-            and k[n_fold] == 1
-            and s[n_fold] == 1
-            and pad[n_fold] == (0, 0)
-        ):
-            n_fold += 1
+        # NEXTOU_NO_FOLD=1 keeps every conv rank-(len(k)) even when leading
+        # axes are pointwise. The fold is ~2x faster STANDALONE (docstring),
+        # but the round-3 TPU trace shows XLA assigning batch-on-lanes
+        # layouts to the folded (128, H, W, C) convs and paying multi-GB
+        # layout copies at the fold/unfold seams — this knob lets the
+        # in-model A/B decide (tools/exp_ab_layout.py).
+        if os.environ.get("NEXTOU_NO_FOLD", "0") != "1":
+            while (
+                n_fold < len(k) - 1
+                and k[n_fold] == 1
+                and s[n_fold] == 1
+                and pad[n_fold] == (0, 0)
+            ):
+                n_fold += 1
         lead = x.shape[: 1 + n_fold]
         if n_fold:
             x = x.reshape(-1, *x.shape[1 + n_fold :])
@@ -434,7 +441,13 @@ class InstanceNorm(nn.Module):
         orig_dtype = x.dtype
         C = x.shape[-1]
         axes = tuple(range(1, x.ndim - 1))
-        xf = x.astype(jnp.float32)
+        # Statistics in fp32 WITHOUT materializing an fp32 copy of the
+        # feature map: reduce the (bf16) input with an fp32 accumulator
+        # (jnp.mean dtype=) and keep the fp32 cast inside the elementwise
+        # consumers. Bit-identical to casting first (bf16->f32 is exact and
+        # the accumulation dtype is the same), but the round-3 TPU trace
+        # showed the explicit `x.astype(f32)` form materializing full-res
+        # f32 buffers + 1.4 GB layout copies at stage 0 (PERF.md).
         if os.environ.get("NEXTOU_ONEPASS_IN", "0") == "1":
             # one-pass statistics: sum and sum-of-squares are INDEPENDENT
             # reductions over the same input, so XLA multi-output-fuses them
@@ -442,13 +455,18 @@ class InstanceNorm(nn.Module):
             # on mean) forces a second full read of the feature map per norm.
             # fp32 E[x^2]-mean^2 loses ~2*log2(|mean|/std) mantissa bits to
             # cancellation — opt-in until the in-model win/parity is measured.
-            mean = jnp.mean(xf, axis=axes, keepdims=True)
-            meansq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+            mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+            meansq = jnp.mean(
+                jnp.square(x.astype(jnp.float32)), axis=axes, keepdims=True
+            )
             var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         else:
-            mean = jnp.mean(xf, axis=axes, keepdims=True)
-            var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+            mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+            var = jnp.mean(
+                jnp.square(x.astype(jnp.float32) - mean),
+                axis=axes, keepdims=True,
+            )
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         scale = self.param("scale", self.scale_init, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         y = y * scale + bias

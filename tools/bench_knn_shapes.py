@@ -33,7 +33,9 @@ SHAPES = [
 
 def main():
     rng = np.random.default_rng(0)
-    tiles = [int(t) for t in sys.argv[1:]] or [256]
+    # "auto" = tile_n=None (production auto-sizing; pair with
+    # NEXTOU_KNN_VMEM_MB / NEXTOU_KNN_BB_MB sweeps)
+    tiles = [None if t == "auto" else int(t) for t in sys.argv[1:]] or [256]
     total = {t: 0.0 for t in tiles}
     for tag, B, N, M, C, k in SHAPES:
         x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.bfloat16)
@@ -44,7 +46,7 @@ def main():
         for t in tiles:
             f = lambda x: knn_max_neighbors(x, k, y=y, tile_n=t)
             dt = device_loop_time(f, x, n_small=2, n_large=20, repeats=2)
-            row += f"  t{t}={dt*1e3:6.2f}ms"
+            row += f"  t{t or chr(97)}={dt*1e3:6.2f}ms"
             total[t] += dt
         print(row, flush=True)
     for t in tiles:
