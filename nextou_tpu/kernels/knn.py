@@ -466,9 +466,19 @@ def knn_max_neighbors(
 
     auto_tile = tile_n is None
     tile_req = 256 if auto_tile else tile_n
-    vmem_budget = (
-        int(os.environ.get("NEXTOU_KNN_VMEM_MB", "28") or 28) << 20
-    )
+    # Auto tile GROWTH (and the wider VMEM budget that enables it) is
+    # restricted to the bf16-coordinate path: the f32-coordinate kernel
+    # faulted the TPU worker twice at auto-grown tiles (round-3 A/B,
+    # NEXTOU_KNN_BF16=0 runs) while the round-2 tile-256/15MB settings are
+    # bench-proven for f32 — so the f32 path keeps exactly those.
+    bf16_coords = _coord_dtype(x.dtype) == jnp.bfloat16
+    if bf16_coords:
+        vmem_budget = (
+            int(os.environ.get("NEXTOU_KNN_VMEM_MB", "28") or 28) << 20
+        )
+    else:
+        auto_tile = False
+        vmem_budget = 15 << 20
     bb_budget = int(os.environ.get("NEXTOU_KNN_BB_MB", "11") or 11) << 20
 
     def try_idx_path():
