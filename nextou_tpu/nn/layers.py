@@ -103,19 +103,47 @@ class FoldedConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
+        # A TUPLE input means "conv of the concatenation of these parts":
+        # conv(concat(a, b), W) == conv(a, W[..., :Ca, :]) + conv(b,
+        # W[..., Ca:, :]) exactly, with the SAME single 'kernel' parameter
+        # (checkpoints/importer unaffected). The split form skips
+        # materializing the concat and lets XLA lower two well-shaped convs
+        # — the round-3 trace showed the decoder's concat-fed stage-2 conv
+        # running 3.4x slower than its encoder twin (PERF.md). Selected by
+        # the decoder under NEXTOU_SPLIT_CONCAT=1.
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        cin = sum(p.shape[-1] for p in parts)
         k = tuple(self.kernel_size)
         s = tuple(self.strides)
         pad = tuple(tuple(p) for p in self.padding)
         kernel = self.param(
-            "kernel", conv_he_normal, (*k, x.shape[-1], self.features), jnp.float32
+            "kernel", conv_he_normal, (*k, cin, self.features), jnp.float32
         )
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             if self.use_bias
             else None
         )
-        dt = self.dtype or x.dtype
+        dt = self.dtype or parts[0].dtype
+        if len(parts) > 1:
+            off, ys = 0, []
+            for p in parts:
+                kp = jax.lax.slice_in_dim(
+                    kernel, off, off + p.shape[-1], axis=len(k)
+                )
+                ys.append(
+                    _folded_conv_apply(p, kp, None, self.features, k, s, pad, dt)
+                )
+                off += p.shape[-1]
+            y = sum(ys)
+            return y + bias.astype(dt) if bias is not None else y
+        return _folded_conv_apply(
+            parts[0], kernel, bias, self.features, k, s, pad, dt
+        )
+
+
+def _folded_conv_apply(x, kernel, bias, features, k, s, pad, dt):
         x = x.astype(dt)
         kernel = kernel.astype(dt)
 
@@ -137,7 +165,7 @@ class FoldedConv(nn.Module):
         lead = x.shape[: 1 + n_fold]
         if n_fold:
             x = x.reshape(-1, *x.shape[1 + n_fold :])
-            kernel = kernel.reshape(*k[n_fold:], x.shape[-1], self.features)
+            kernel = kernel.reshape(*k[n_fold:], x.shape[-1], features)
         nd = len(k) - n_fold
         letters = "DHW"[-nd:] if nd <= 3 else None
         assert letters is not None
@@ -169,7 +197,7 @@ class FoldedConv(nn.Module):
                 pallas_conv, pallas_conv_wins, runtime_platform,
             )
             pallas_ok = runtime_platform() == "tpu" and pallas_conv_wins(
-                x.shape[1:4], x.shape[-1], self.features, kk, ss
+                x.shape[1:4], x.shape[-1], features, kk, ss
             )
         if pallas_ok:
             # Tap-list Pallas kernel (kernels/conv.py) on the shapes where
@@ -466,11 +494,35 @@ class InstanceNorm(nn.Module):
                 jnp.square(x.astype(jnp.float32) - mean),
                 axis=axes, keepdims=True,
             )
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         scale = self.param("scale", self.scale_init, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        out_dtype = self.dtype or orig_dtype
+        if out_dtype == jnp.bfloat16 and (
+            os.environ.get("NEXTOU_IN_SCALAR_AB", "1") == "1"
+        ):
+            # Fold the whole normalization into per-(sample, channel) affine
+            # coefficients computed in f32 (tiny tensors), applied as ONE
+            # bf16 multiply-add on the original input:
+            #   y = x * a + b,  a = scale/sigma,  b = bias - mean * a.
+            # With the straightforward f32 elementwise form, the round-3 TPU
+            # trace showed XLA materializing the PRE-convert f32 feature map
+            # whenever the norm output fans out (encoder skip + next conv):
+            # a 726 MB f32 buffer + layout copies + triple converts at
+            # full res. Expressing the apply in pure bf16 makes an f32
+            # feature map unrepresentable. Rounding a,b to bf16 adds <=2 ulp
+            # vs normalize-then-round — same order as the bf16 output
+            # rounding itself, and the torch reference's AMP behavior
+            # (fp32 IN -> fp16 cast) is an approximation of the same kind.
+            # NEXTOU_IN_SCALAR_AB=0 restores the f32 elementwise apply.
+            a = scale * jax.lax.rsqrt(var + self.epsilon)  # f32 (B,1..,C)
+            b = bias - mean * a
+            y = x.astype(jnp.bfloat16) * a.astype(jnp.bfloat16) + b.astype(
+                jnp.bfloat16
+            )
+            return y
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
-        return y.astype(self.dtype or orig_dtype)
+        return y.astype(out_dtype)
 
 
 def make_norm(
@@ -494,11 +546,26 @@ def make_norm(
     assert not zero_init_scale or name == "norm2", (name, "see docstring")
     scale_init = nn.initializers.zeros if zero_init_scale else nn.initializers.ones
     if kind == "batch":
+        # dtype is the model COMPUTE dtype: flax computes the batch
+        # statistics in >=f32 regardless (``_compute_stats`` promotes), but
+        # the normalize elementwise runs at this dtype. The old hardcoded
+        # f32 made every BatchNorm emit an f32 feature map — at full res
+        # that's a 726 MB materialization + layout copies + re-converts per
+        # norm (round-3 TPU trace, PERF.md). bf16 normalize applies
+        # per-channel constants at <=2 ulp cost, the same order as the
+        # output rounding the next conv performs anyway (and the torch
+        # reference under AMP rounds its f32 BN output to fp16 too).
+        # NEXTOU_F32_NORM=1 restores the f32 elementwise form.
+        bn_dtype = (
+            jnp.float32
+            if os.environ.get("NEXTOU_F32_NORM", "0") == "1"
+            else dtype
+        )
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=bn_dtype,
             scale_init=scale_init,
             name=name,
         )

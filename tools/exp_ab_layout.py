@@ -44,16 +44,27 @@ def main():
     jax.block_until_ready(v)
     print("init done", flush=True)
 
-    # optional argv[2]: comma-separated "nofold,knnbf16" pairs like
-    # "01:11:10" (each pair = one grid point) to resume a crashed sweep
-    combos = [(nf, kb) for nf in ("0", "1") for kb in ("1", "0")]
+    # optional argv[2]: grid points separated by ":". Each point is either
+    # the original two-digit "NF KB" shorthand ("01" = NEXTOU_NO_FOLD=0,
+    # NEXTOU_KNN_BF16=1) or a comma-separated env assignment list
+    # ("NEXTOU_IN_SCALAR_AB=0,NEXTOU_ONEPASS_IN=1") benched verbatim.
+    combos = [f"{nf}{kb}" for nf in ("0", "1") for kb in ("1", "0")]
     if len(sys.argv) > 2:
-        combos = [(p[0], p[1]) for p in sys.argv[2].split(":")]
+        combos = sys.argv[2].split(":")
 
     results = {}
-    for nofold, knnbf16 in combos:
-            os.environ["NEXTOU_NO_FOLD"] = nofold
-            os.environ["NEXTOU_KNN_BF16"] = knnbf16
+    for combo in combos:
+            if "=" in combo:
+                env = dict(kv.split("=", 1) for kv in combo.split(","))
+                key = combo
+            else:
+                env = {
+                    "NEXTOU_NO_FOLD": combo[0],
+                    "NEXTOU_KNN_BF16": combo[1],
+                }
+                key = f"nofold={combo[0]} knnbf16={combo[1]}"
+            for name, val in env.items():
+                os.environ[name] = val
             dts = [
                 device_loop_time(
                     lambda x: model.apply(v, x, train=False),
@@ -64,7 +75,6 @@ def main():
                 )
                 for _ in range(repeats)
             ]
-            key = f"nofold={nofold} knnbf16={knnbf16}"
             results[key] = min(dts)
             print(
                 f"{key}: " + " ".join(f"{d*1e3:.1f}" for d in dts)
