@@ -14,6 +14,13 @@ Measures BOTH (BASELINE.json "3D patches/sec/chip at 64x224x192"):
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
+Resilience (round-3 lesson: a late compile OOM zeroed every number):
+- metrics are recorded into ``extras`` as they land, and the JSON line is
+  printed even if a later section crashes (the error goes into
+  ``extras['errors']``; rc=1 only if the headline itself is missing);
+- the fused sliding-window compile auto-backs-off tile_batch (4 -> 2 -> 1)
+  on RESOURCE_EXHAUSTED, recording the tile batch that actually ran.
+
 ``vs_baseline`` divides by the A100 estimate of the torch reference on the
 same workload. The reference publishes no speed numbers (SURVEY.md §6), so
 the estimate is derived — measurement + formula, no bare guess — in
@@ -29,6 +36,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 _t_phase = time.perf_counter()
 
@@ -48,13 +56,58 @@ def _log(msg):
 A100_FWD_EST = 18.0  # patches/s forward, central estimate (band 12-27)
 A100_SW_EST = 15.0  # sliding-window tiles/s, central estimate (band 10-22.5)
 A100_TRAIN_EST = 6.0  # train patches/s (fwd+bwd+update), central (band 4-9)
+# TTA = 8 mirror forwards averaged per tile; credit the reference with a
+# perfectly-amortized 8x cost over its plain sliding window.
+A100_TTA_EST = A100_SW_EST / 8.0
 
 BATCH = int(os.environ.get("NEXTOU_BENCH_BATCH", "2"))
 TILE_BATCH = int(os.environ.get("NEXTOU_BENCH_TILE_BATCH", "4"))
 VOL_SHAPE = (64, 280, 240)  # -> 4 flagship tiles at step 0.5
 
 
+def _is_oom(e: Exception) -> bool:
+    msg = str(e)
+    return "RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
+
+
 def main():
+    extras: dict = {"errors": {}}
+    sw_pps = None
+
+    def fail(section: str, e: Exception):
+        extras["errors"][section] = str(e).splitlines()[0][:300]
+        _log(f"SECTION FAILED [{section}]: {type(e).__name__}")
+        traceback.print_exc(file=sys.stderr)
+
+    def emit() -> int:
+        if not extras["errors"]:
+            del extras["errors"]
+        extras["baseline"] = {
+            "a100_fwd_est": A100_FWD_EST,
+            "a100_sw_est": round(A100_SW_EST, 2),
+            "a100_train_est": A100_TRAIN_EST,
+            "a100_tta_est": round(A100_TTA_EST, 3),
+            "method": "BASELINE.md: A100 baseline estimate",
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "3d_fullres_nextou sliding-window patches/sec/chip "
+                        "(64x224x192 tiles, Gaussian, device argmax, bf16)"
+                    ),
+                    "value": round(sw_pps, 3) if sw_pps else None,
+                    "unit": "patches/s",
+                    "vs_baseline": (
+                        round(sw_pps / A100_SW_EST, 3) if sw_pps else None
+                    ),
+                    "extras": extras,
+                }
+            ),
+            flush=True,
+        )
+        return 0 if sw_pps else 1
+
     from nextou_tpu.utils.cache import enable_compilation_cache
 
     cache_dir = enable_compilation_cache()
@@ -120,28 +173,25 @@ def main():
     )
 
     # ---- bare forward ---------------------------------------------------
-    dt_fwd = device_loop_time(
-        lambda x: model.apply(variables, x, train=False),
-        x,
-        n_small=1,
-        n_large=9,
-        repeats=2,
-    )
-    fwd_pps = BATCH / dt_fwd
-    _log(f"forward: {dt_fwd*1e3:.1f} ms/step -> {fwd_pps:.2f} patches/s")
+    try:
+        dt_fwd = device_loop_time(
+            lambda x: model.apply(variables, x, train=False),
+            x,
+            n_small=1,
+            n_large=9,
+            repeats=2,
+        )
+        fwd_pps = BATCH / dt_fwd
+        extras["fwd_patches_per_sec"] = round(fwd_pps, 3)
+        extras["fwd_vs_baseline"] = round(fwd_pps / A100_FWD_EST, 3)
+        extras["fwd_ms_per_batch"] = round(dt_fwd * 1e3, 1)
+        _log(f"forward: {dt_fwd*1e3:.1f} ms/step -> {fwd_pps:.2f} patches/s")
+    except Exception as e:  # noqa: BLE001
+        fail("fwd", e)
 
     # ---- north star: fused sliding window, device argmax ---------------
     from nextou_tpu.infer import make_device_sliding_predictor
 
-    predictor = make_device_sliding_predictor(
-        lambda t: model.apply(variables, t, train=False),
-        None,  # TTA off for the headline; nnU-Net disables it for NoMirroring
-        spec.patch_size,
-        spec.num_classes,
-        tile_batch=TILE_BATCH,
-        fused=True,
-        output="seg",
-    )
     vol = (
         np.random.default_rng(0)
         .standard_normal((*vol_shape, spec.in_channels))
@@ -153,192 +203,195 @@ def main():
     n_tiles = 1
     for ax in steps:
         n_tiles *= len(ax)
-    seg = np.asarray(predictor(vol))  # compile + warm
-    assert seg.shape == vol_shape, seg.shape
-    _log(f"sliding-window compile+warm ({n_tiles} tiles/volume)")
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(predictor(vol))  # includes host fetch of the seg
-        times.append(time.perf_counter() - t0)
-    t_vol = min(times)
-    _log(f"sliding window: {t_vol:.3f} s/volume (single-volume latency)")
+    extras["n_tiles"] = n_tiles
 
-    # steady-state serving throughput: pipeline uploads/compute/fetches of a
-    # stream of volumes through jax's async dispatch (the per-chip
-    # patches/sec a saturated server gets; transfers overlap compute)
-    n_stream = 4
-    vols = [vol + i for i in range(n_stream)]
-    t0 = time.perf_counter()
-    segs = [predictor(v) for v in vols]
-    outs = [np.asarray(s_) for s_ in segs]
-    t_stream = (time.perf_counter() - t0) / n_stream
-    del outs
-    sw_pps = n_tiles / min(t_vol, t_stream)
-    _log(
-        f"pipelined: {t_stream:.3f} s/volume -> {sw_pps:.2f} patches/s "
-        f"({n_tiles} tiles/volume)"
-    )
+    def build_and_warm(mirror_axes, tile_batch):
+        """Compile+warm the fused predictor, backing off tile_batch on OOM."""
+        while True:
+            predictor = make_device_sliding_predictor(
+                lambda t: model.apply(variables, t, train=False),
+                mirror_axes,
+                spec.patch_size,
+                spec.num_classes,
+                tile_batch=tile_batch,
+                fused=True,
+                output="seg",
+            )
+            try:
+                seg = np.asarray(predictor(vol))  # compile + warm
+                assert seg.shape == vol_shape, seg.shape
+                return predictor, tile_batch
+            except Exception as e:  # noqa: BLE001
+                if _is_oom(e) and tile_batch > 1:
+                    _log(
+                        f"OOM at tile_batch {tile_batch} "
+                        f"(mirror={mirror_axes}); backing off to {tile_batch // 2}"
+                    )
+                    del predictor
+                    tile_batch //= 2
+                    continue
+                raise
+
+    predictor = None
+    try:
+        predictor, tb_used = build_and_warm(
+            None,  # TTA off for the headline; nnU-Net disables it for NoMirroring
+            TILE_BATCH,
+        )
+        extras["sw_tile_batch"] = tb_used
+        _log(f"sliding-window compile+warm ({n_tiles} tiles/volume, tb={tb_used})")
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(predictor(vol))  # includes host fetch of the seg
+            times.append(time.perf_counter() - t0)
+        t_vol = min(times)
+        _log(f"sliding window: {t_vol:.3f} s/volume (single-volume latency)")
+
+        # steady-state serving throughput: pipeline uploads/compute/fetches
+        # of a stream of volumes through jax's async dispatch (the per-chip
+        # patches/sec a saturated server gets; transfers overlap compute)
+        n_stream = 4
+        vols = [vol + i for i in range(n_stream)]
+        t0 = time.perf_counter()
+        segs = [predictor(v) for v in vols]
+        outs = [np.asarray(s_) for s_ in segs]
+        t_stream = (time.perf_counter() - t0) / n_stream
+        del outs
+        sw_pps = n_tiles / min(t_vol, t_stream)
+        extras["sw_s_per_volume"] = round(t_vol, 3)
+        extras["sw_s_per_volume_pipelined"] = round(t_stream, 3)
+        _log(
+            f"pipelined: {t_stream:.3f} s/volume -> {sw_pps:.2f} patches/s "
+            f"({n_tiles} tiles/volume)"
+        )
+    except Exception as e:  # noqa: BLE001
+        fail("sliding_window", e)
 
     # BASELINE.json's configs also name mirroring TTA; record that variant
     # (8 mirror combos/tile over axes (0,1,2)) alongside the headline.
     # NEXTOU_BENCH_TTA=0 skips it to shorten a bench run.
-    sw_tta_pps = None
     if os.environ.get("NEXTOU_BENCH_TTA", "1") == "1":
-        predictor_tta = make_device_sliding_predictor(
-            lambda t: model.apply(variables, t, train=False),
-            (0, 1, 2),
-            spec.patch_size,
-            spec.num_classes,
-            tile_batch=TILE_BATCH,
-            fused=True,
-            output="seg",
-        )
-        np.asarray(predictor_tta(vol))  # compile + warm
-        _log("TTA sliding-window compile+warm")
-        t0 = time.perf_counter()
-        np.asarray(predictor_tta(vol))
-        t_tta = time.perf_counter() - t0
-        sw_tta_pps = n_tiles / t_tta
-        _log(f"TTA sliding window: {t_tta:.3f} s/volume -> {sw_tta_pps:.2f} patches/s")
+        try:
+            predictor_tta, tta_tb = build_and_warm((0, 1, 2), TILE_BATCH)
+            _log(f"TTA sliding-window compile+warm (tb={tta_tb})")
+            t0 = time.perf_counter()
+            np.asarray(predictor_tta(vol))
+            t_tta = time.perf_counter() - t0
+            sw_tta_pps = n_tiles / t_tta
+            extras["sw_tta_patches_per_sec"] = round(sw_tta_pps, 3)
+            extras["sw_tta_vs_baseline"] = round(sw_tta_pps / A100_TTA_EST, 3)
+            extras["sw_tta_tile_batch"] = tta_tb
+            _log(
+                f"TTA sliding window: {t_tta:.3f} s/volume -> "
+                f"{sw_tta_pps:.2f} patches/s"
+            )
+            del predictor_tta
+        except Exception as e:  # noqa: BLE001
+            fail("tta", e)
 
     # ---- train step (fwd+bwd+update, the nnU-Net protocol) ---------------
     # Regression-gates training throughput alongside inference (VERDICT r2
     # #4). NEXTOU_BENCH_TRAIN=0 skips it; batch/remat are env-overridable
     # (defaults = the measured-best flagship training config).
-    train_pps = None
-    train_cfg = None
     if os.environ.get("NEXTOU_BENCH_TRAIN", "1") == "1":
-        del predictor  # free the inference executables' HBM first
-        if sw_tta_pps is not None:
-            del predictor_tta
-        from nextou_tpu.losses import CompoundLossSpec
-        from nextou_tpu.losses.deep_supervision import (
-            deep_supervision_weights,
-        )
-        from nextou_tpu.models.presets import flagship_3d_spec as _fs
-        from nextou_tpu.train import (
-            create_train_state,
-            make_optimizer,
-            make_train_step,
-        )
-        from nextou_tpu.train.optimizer import poly_lr
+        try:
+            del predictor  # free the inference executables' HBM first
+            from nextou_tpu.losses import CompoundLossSpec
+            from nextou_tpu.losses.deep_supervision import (
+                deep_supervision_weights,
+            )
+            from nextou_tpu.models.presets import flagship_3d_spec as _fs
+            from nextou_tpu.train import (
+                create_train_state,
+                make_optimizer,
+                make_train_step,
+            )
+            from nextou_tpu.train.optimizer import poly_lr
 
-        if os.environ.get("NEXTOU_BENCH_PRESET", "flagship") == "small":
-            from nextou_tpu.models.presets import small_3d_spec
+            if os.environ.get("NEXTOU_BENCH_PRESET", "flagship") == "small":
+                from nextou_tpu.models.presets import small_3d_spec
 
-            tspec = small_3d_spec(deep_supervision=True)
-        else:
-            tspec = _fs(deep_supervision=True)
-        train_b = int(os.environ.get("NEXTOU_TRAIN_BENCH_BATCH", "2"))
-        remat = {"1": True, "0": False, "big": "big"}[
-            os.environ.get("NEXTOU_BENCH_REMAT", "1")
-        ]
-        tmodel = NexToU(
-            spec=tspec, dtype=jnp.bfloat16, remat=remat,
-            channel_major_logits=True,
-        )
-        rng = np.random.default_rng(0)
-        tx = jnp.asarray(
-            rng.standard_normal(
-                (train_b, *tspec.patch_size, tspec.in_channels)
-            ),
-            jnp.float32,
-        )
-        opt = make_optimizer(
-            poly_lr(1e-2, 1000, 0.9, steps_per_epoch=250),
-            weight_decay=3e-5,
-            clip_norm=12.0,
-        )
-        state = jax.device_put(
-            create_train_state(tmodel, opt, tx[:1], jax.random.PRNGKey(0))
-        )
-        jax.block_until_ready(state.params)
-        step = make_train_step(
-            tmodel,
-            opt,
-            CompoundLossSpec(
-                weight_ce=1.0, weight_dice=1.0, weight_ti=0.0,
-                batch_dice=True, smooth=1e-5, do_bg=False,
-            ),
-            deep_supervision_weights(len(tspec.decoder)),
-        )
-        seg = jnp.asarray(
-            rng.integers(0, tspec.num_classes, (train_b, *tspec.patch_size)),
-            jnp.int32,
-        )
-        batch = {"data": tx, "seg": seg}
-        state, m = step(state, batch)
-        _ = float(m["loss"])  # genuine wait (tunnel block_until_ready lies)
-        _log(f"train-step compile+first (batch {train_b}, remat={remat!r})")
-
-        # 1-step vs 10-step in-device loop slope cancels dispatch latency
-        @jax.jit
-        def run10(state, batch):
-            def body(i, st):
-                new_st, _ = step(st, batch)
-                return new_st
-
-            return jax.lax.fori_loop(0, 10, body, state)
-
-        s10 = run10(state, batch)
-        jax.block_until_ready(s10.params)  # compile the loop
-        t0 = time.perf_counter()
-        s_a, m_a = step(state, batch)
-        _ = float(m_a["loss"])
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        s_b = run10(s_a, batch)  # chain off s_a: step donated `state`
-        _ = float(jax.tree_util.tree_leaves(s_b.params)[0].ravel()[0])
-        t10 = time.perf_counter() - t0
-        dt_train = (t10 - t1) / 9.0
-        train_pps = train_b / dt_train
-        train_cfg = {"batch": train_b, "remat": str(remat)}
-        _log(
-            f"train step: {dt_train*1e3:.0f} ms ({train_b} patches) -> "
-            f"{train_pps:.2f} patches/s"
-        )
-
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "3d_fullres_nextou sliding-window patches/sec/chip "
-                    "(64x224x192 tiles, Gaussian, device argmax, bf16)"
+                tspec = small_3d_spec(deep_supervision=True)
+            else:
+                tspec = _fs(deep_supervision=True)
+            train_b = int(os.environ.get("NEXTOU_TRAIN_BENCH_BATCH", "2"))
+            remat = {"1": True, "0": False, "big": "big"}[
+                os.environ.get("NEXTOU_BENCH_REMAT", "1")
+            ]
+            tmodel = NexToU(
+                spec=tspec, dtype=jnp.bfloat16, remat=remat,
+                channel_major_logits=True,
+            )
+            rng = np.random.default_rng(0)
+            tx = jnp.asarray(
+                rng.standard_normal(
+                    (train_b, *tspec.patch_size, tspec.in_channels)
                 ),
-                "value": round(sw_pps, 3),
-                "unit": "patches/s",
-                "vs_baseline": round(sw_pps / A100_SW_EST, 3),
-                "extras": {
-                    "fwd_patches_per_sec": round(fwd_pps, 3),
-                    "fwd_vs_baseline": round(fwd_pps / A100_FWD_EST, 3),
-                    "fwd_ms_per_batch": round(dt_fwd * 1e3, 1),
-                    "sw_s_per_volume": round(t_vol, 3),
-                    "sw_s_per_volume_pipelined": round(t_stream, 3),
-                    "sw_tta_patches_per_sec": (
-                        round(sw_tta_pps, 3) if sw_tta_pps else None
-                    ),
-                    "n_tiles": n_tiles,
-                    "train_patches_per_sec": (
-                        round(train_pps, 3) if train_pps else None
-                    ),
-                    "train_vs_baseline": (
-                        round(train_pps / A100_TRAIN_EST, 3)
-                        if train_pps
-                        else None
-                    ),
-                    "train_config": train_cfg,
-                    "baseline": {
-                        "a100_fwd_est": A100_FWD_EST,
-                        "a100_sw_est": round(A100_SW_EST, 2),
-                        "a100_train_est": A100_TRAIN_EST,
-                        "method": "BASELINE.md: A100 baseline estimate",
-                    },
-                },
-            }
-        )
-    )
+                jnp.float32,
+            )
+            opt = make_optimizer(
+                poly_lr(1e-2, 1000, 0.9, steps_per_epoch=250),
+                weight_decay=3e-5,
+                clip_norm=12.0,
+            )
+            state = jax.device_put(
+                create_train_state(tmodel, opt, tx[:1], jax.random.PRNGKey(0))
+            )
+            jax.block_until_ready(state.params)
+            step = make_train_step(
+                tmodel,
+                opt,
+                CompoundLossSpec(
+                    weight_ce=1.0, weight_dice=1.0, weight_ti=0.0,
+                    batch_dice=True, smooth=1e-5, do_bg=False,
+                ),
+                deep_supervision_weights(len(tspec.decoder)),
+            )
+            seg = jnp.asarray(
+                rng.integers(
+                    0, tspec.num_classes, (train_b, *tspec.patch_size)
+                ),
+                jnp.int32,
+            )
+            batch = {"data": tx, "seg": seg}
+            state, m = step(state, batch)
+            _ = float(m["loss"])  # genuine wait (tunnel block_until_ready lies)
+            _log(f"train-step compile+first (batch {train_b}, remat={remat!r})")
+
+            # 1-step vs 10-step in-device loop slope cancels dispatch latency
+            @jax.jit
+            def run10(state, batch):
+                def body(i, st):
+                    new_st, _ = step(st, batch)
+                    return new_st
+
+                return jax.lax.fori_loop(0, 10, body, state)
+
+            s10 = run10(state, batch)
+            jax.block_until_ready(s10.params)  # compile the loop
+            t0 = time.perf_counter()
+            s_a, m_a = step(state, batch)
+            _ = float(m_a["loss"])
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            s_b = run10(s_a, batch)  # chain off s_a: step donated `state`
+            _ = float(jax.tree_util.tree_leaves(s_b.params)[0].ravel()[0])
+            t10 = time.perf_counter() - t0
+            dt_train = (t10 - t1) / 9.0
+            train_pps = train_b / dt_train
+            extras["train_patches_per_sec"] = round(train_pps, 3)
+            extras["train_vs_baseline"] = round(train_pps / A100_TRAIN_EST, 3)
+            extras["train_config"] = {"batch": train_b, "remat": str(remat)}
+            _log(
+                f"train step: {dt_train*1e3:.0f} ms ({train_b} patches) -> "
+                f"{train_pps:.2f} patches/s"
+            )
+        except Exception as e:  # noqa: BLE001
+            fail("train", e)
+
+    return emit()
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -183,7 +183,39 @@ def make_device_sliding_predictor(
 
         return jax.vmap(one)(coords)  # (T, *patch, Cin)
 
+    # Mirror-batched TTA (NEXTOU_TTA_BATCH_MIRRORS=1): stack all 2^|axes|
+    # flip variants into ONE forward of batch len(combos)*T instead of
+    # len(combos) sequential forwards of batch T. Same FLOPs; lets XLA
+    # schedule one large batch (helps when T is small enough that a single
+    # mirror batch under-fills the MXU; costs HBM working set). Default off
+    # until the in-model A/B on the real chip decides (VERDICT r3 #5).
+    import os as _os
+
+    _batch_mirrors = (
+        len(combos) > 1
+        and _os.environ.get("NEXTOU_TTA_BATCH_MIRRORS", "0") == "1"
+    )
+
     def _tile_forward(tiles):
+        if _batch_mirrors:
+            stacked = jnp.concatenate(
+                [
+                    jnp.flip(tiles, tuple(a + 1 for a in combo))
+                    if combo
+                    else tiles
+                    for combo in combos
+                ],
+                axis=0,
+            )
+            logits = apply_fn(stacked)
+            parts = jnp.split(logits, len(combos), axis=0)
+            total = None
+            for combo, part in zip(combos, parts):
+                if combo:
+                    part = jnp.flip(part, tuple(a + 1 for a in combo))
+                probs = act(part.astype(jnp.float32))
+                total = probs if total is None else total + probs
+            return total / float(len(combos))
         total = None
         for combo in combos:
             flip_dims = tuple(a + 1 for a in combo)

@@ -311,7 +311,8 @@ class ShuffleConvTranspose(nn.Module):
             # lax.conv_transpose (transpose_kernel=False) applies the kernel
             # spatially *flipped* relative to the pixel-shuffle indexing;
             # flip here so the module is bit-identical to nn.ConvTranspose
-            # (verified against random weights in tests/test_layers.py).
+            # (verified against random weights in tests/test_nn_modules.py::
+            # test_shuffle_conv_transpose_matches_flax).
             w = kernel[(slice(None, None, -1),) * nd]
             w2 = jnp.moveaxis(w, nd, 0).reshape(cin, math.prod(k) * self.features)
             y = x @ w2  # (B, *sp, P*Cout)

@@ -166,6 +166,45 @@ def test_device_sliding_window_matches_host_path():
     )
 
 
+def test_tta_batch_mirrors_matches_sequential(monkeypatch):
+    """NEXTOU_TTA_BATCH_MIRRORS=1 (all flip variants in one forward of
+    batch 2^|axes|*T) must match the sequential-combo TTA path; the model
+    treats batch entries independently, so the only difference is summation
+    order in the probs average."""
+    from nextou_tpu.infer import make_device_sliding_predictor
+    from nextou_tpu.models import NexToU
+    from nextou_tpu.utils import fast_init
+    from tests.test_model import tiny_2d_spec
+    import jax
+    import jax.numpy as jnp
+
+    spec = tiny_2d_spec(deep_supervision=False)
+    model = NexToU(spec=spec, dtype=jnp.float32)
+    data = np.random.default_rng(7).standard_normal(
+        (41, 40, spec.in_channels)
+    ).astype(np.float32)
+    x0 = jnp.zeros((1, *spec.patch_size, spec.in_channels), jnp.float32)
+    variables = fast_init(model, jax.random.PRNGKey(0), x0, train=False)
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)
+
+    kw = dict(tile_batch=2, transfer_dtype=jnp.float32)
+    monkeypatch.delenv("NEXTOU_TTA_BATCH_MIRRORS", raising=False)
+    seq = np.asarray(
+        make_device_sliding_predictor(
+            apply_fn, (0, 1), spec.patch_size, spec.num_classes, **kw
+        )(data)
+    )
+    monkeypatch.setenv("NEXTOU_TTA_BATCH_MIRRORS", "1")
+    bat = np.asarray(
+        make_device_sliding_predictor(
+            apply_fn, (0, 1), spec.patch_size, spec.num_classes, **kw
+        )(data)
+    )
+    np.testing.assert_allclose(bat, seq, atol=3e-5)
+
+
 def test_device_sliding_window_seg_output():
     """output='seg' must equal argmax of the probs output (device argmax,
     weight division cancelled), uint8 (<=255 classes), spatial-only shape."""

@@ -146,3 +146,53 @@ def test_indices_path_gradients(monkeypatch):
     gk = jax.grad(loss_k)(x)
     gr = jax.grad(loss_r)(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
+
+
+def test_auto_tile_growth_gated_to_bf16_coords(monkeypatch):
+    """Round-3 incident regression (c90a264): the f32-coordinate kernel
+    faulted the TPU worker at auto-grown query tiles, so auto tile growth
+    (and the wider VMEM budget) must apply ONLY on the bf16-coordinate
+    path; f32 keeps the bench-proven tile-256 setting. Verifies the
+    dispatch decision via a spy AND runs both grown/ungrown kernels to
+    parity against the XLA reference (interpret mode)."""
+    import nextou_tpu.kernels.knn as knn_mod
+
+    calls = []
+    orig = knn_mod._knn_max_fused
+
+    def spy(k, tile_n, block_b, interpret, x, y, rel):
+        calls.append({"tile": tile_n, "bb": block_b})
+        return orig(k, tile_n, block_b, interpret, x, y, rel)
+
+    monkeypatch.setattr(knn_mod, "_knn_max_fused", spy)
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((1, 1024, 16))
+
+    # f32 coordinates: auto growth must be OFF -> tile stays at 256
+    x32 = jnp.asarray(base, jnp.float32)
+    got = knn_mod.knn_max_neighbors(x32, 5)
+    want = knn_mod.knn_max_neighbors_reference(x32, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert calls[-1]["tile"] == 256, calls[-1]
+
+    # bf16 coordinates (default NEXTOU_KNN_BF16=1): the query tile grows to
+    # cover all 1024 rows in one latency-bound grid step
+    monkeypatch.delenv("NEXTOU_KNN_BF16", raising=False)
+    xbf = jnp.asarray(base, jnp.bfloat16)
+    got = knn_mod.knn_max_neighbors(xbf, 5)
+    want = knn_mod.knn_max_neighbors_reference(xbf, 5)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+    assert calls[-1]["tile"] == 1024, calls[-1]
+
+    # NEXTOU_KNN_BF16=0 forces f32 coordinates for bf16 inputs too ->
+    # growth gate closes again
+    monkeypatch.setenv("NEXTOU_KNN_BF16", "0")
+    got = knn_mod.knn_max_neighbors(xbf, 5)
+    want = knn_mod.knn_max_neighbors_reference(xbf, 5)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+    assert calls[-1]["tile"] == 256, calls[-1]

@@ -433,3 +433,240 @@ def test_lowering_env_knobs_actually_switch_paths(monkeypatch):
 
     inorm = InstanceNorm()
     assert jaxpr_of(inorm, x3) != jaxpr_of(inorm, x3, NEXTOU_ONEPASS_IN="1")
+
+
+# ---- round-3 default-flipped numerics (VERDICT r3 #2) ----------------------
+
+_BF16_EPS = 2.0 ** -8  # bf16 relative rounding step (7 fraction bits + 1)
+
+
+def test_instance_norm_scalar_ab_two_ulp(monkeypatch):
+    """The bf16 scalar-AB InstanceNorm (default, NEXTOU_IN_SCALAR_AB=1:
+    y = x*a + b with f32 per-(sample,channel) coefficients rounded to bf16)
+    must stay within 2 bf16-ulp-scale of the f32-elementwise-then-round form
+    it replaced — including channels with large means (where the b term
+    dominates) and near-zero outputs (where x*a and b cancel)."""
+    from nextou_tpu.nn.layers import InstanceNorm
+
+    rng = np.random.default_rng(0)
+    B, sp, C = 2, (6, 8, 10), 5
+    base = rng.standard_normal((B, *sp, C))
+    # per-channel scale/offset spread over decades incl. a large-mean channel
+    base = base * np.array([1.0, 10.0, 0.1, 3.0, 1.0]) + np.array(
+        [0.0, 100.0, -5.0, 0.5, 0.0]
+    )
+    x = jnp.asarray(base, jnp.bfloat16)
+    mod = InstanceNorm(dtype=jnp.bfloat16)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    v = {"params": {
+        "scale": jnp.asarray(rng.uniform(0.5, 2.0, (C,)), jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal((C,)), jnp.float32),
+    }}
+    monkeypatch.setenv("NEXTOU_IN_SCALAR_AB", "0")
+    want = mod.apply(v, x)
+    monkeypatch.setenv("NEXTOU_IN_SCALAR_AB", "1")
+    got = mod.apply(v, x)
+    assert want.dtype == jnp.bfloat16 and got.dtype == jnp.bfloat16
+
+    # reconstruct the exact a, b the scalar-AB form uses, in f64, to express
+    # the "2 ulp of the TERMS" bound (cancellation at y~0 makes a bound on
+    # ulp(y) alone unachievable for ANY rounded-term evaluation)
+    xf = np.asarray(x, np.float64)
+    mean = xf.mean(axis=(1, 2, 3), keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=(1, 2, 3), keepdims=True)
+    a = np.asarray(v["params"]["scale"], np.float64) / np.sqrt(var + 1e-5)
+    b = np.asarray(v["params"]["bias"], np.float64) - mean * a
+    term_scale = np.abs(xf * a) + np.abs(b)
+    err = np.abs(np.asarray(got, np.float64) - np.asarray(want, np.float64))
+    bound = 2.0 * _BF16_EPS * np.maximum(term_scale, 2.0 ** -126)
+    assert (err <= bound).all(), (
+        f"max err {err.max()}, worst ratio {(err / bound).max()}"
+    )
+
+
+def test_batchnorm_bf16_two_ulp(monkeypatch):
+    """bf16 BatchNorm apply (round-3 default; NEXTOU_F32_NORM=1 reverts)
+    must stay within 2 bf16-ulp-scale of the f32 elementwise form, in both
+    train (batch stats) and eval (running stats) modes."""
+    from nextou_tpu.nn.layers import make_norm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        rng.standard_normal((2, 6, 8, 5)) * 4.0 + 1.5, jnp.bfloat16
+    )
+    for train in (True, False):
+        monkeypatch.setenv("NEXTOU_F32_NORM", "1")
+        mod32 = make_norm("batch", train=train, dtype=jnp.bfloat16)
+        v = mod32.init(jax.random.PRNGKey(0), x)
+        # nonzero running stats so eval mode is nontrivial
+        v = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(
+                rng.uniform(0.5, 1.5, a.shape), a.dtype
+            ),
+            v,
+        )
+        mutable = ["batch_stats"] if train else False
+        want = mod32.apply(v, x, mutable=mutable)
+        monkeypatch.delenv("NEXTOU_F32_NORM", raising=False)
+        mod16 = make_norm("batch", train=train, dtype=jnp.bfloat16)
+        got = mod16.apply(v, x, mutable=mutable)
+        if train:
+            want, got = want[0], got[0]
+        assert got.dtype == jnp.bfloat16, train
+        wf = np.asarray(want, np.float64)
+        gf = np.asarray(got, np.float64)
+        # normalize-then-affine: term scale ~ |normalized|*scale + |bias|
+        bound = 2.0 * _BF16_EPS * np.maximum(np.abs(wf), 1.0)
+        assert (np.abs(gf - wf) <= bound).all(), (
+            train, np.abs(gf - wf).max()
+        )
+
+
+def _tiny_plain_spec():
+    """Conv-only tiny spec for model-level numerics-flag tests.
+
+    NexToU's kNN neighbor selection is discontinuous: a ulp-level norm
+    difference can flip a near-tie neighbor and cascade, so model-level
+    tolerance comparisons across numerics flags are only meaningful on the
+    conv path (same InstanceNorm/FoldedConv machinery, same interpreter)."""
+    from nextou_tpu.models.plain_unet import build_plain_unet_spec
+
+    return build_plain_unet_spec(
+        in_channels=2,
+        patch_size=(16, 16),
+        n_stages=3,
+        features_per_stage=(8, 16, 24),
+        kernel_sizes=((3, 3),) * 3,
+        strides=((1, 1), (2, 2), (2, 2)),
+        n_conv_per_stage=(2, 2, 2),
+        n_conv_per_stage_decoder=(2, 2),
+        num_classes=3,
+        deep_supervision=False,
+    )
+
+
+def test_model_scalar_ab_env_states_agree(monkeypatch):
+    """Both NEXTOU_IN_SCALAR_AB env states through a full bf16 conv model:
+    logits agree at bf16 accumulation scale (the InstanceNorm unit test above
+    pins the 2-ulp bound; this checks nothing pathological accumulates)."""
+    from nextou_tpu.models.plain_unet import PlainConvUNet
+    from nextou_tpu.utils import fast_init
+
+    spec = _tiny_plain_spec()
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        rng.standard_normal((2, *spec.patch_size, spec.in_channels)),
+        jnp.bfloat16,
+    )
+    model = PlainConvUNet(spec=spec, dtype=jnp.bfloat16)
+    v = fast_init(model, 0, x, train=False)
+    monkeypatch.setenv("NEXTOU_IN_SCALAR_AB", "0")
+    want = model.apply(v, x, train=False)
+    monkeypatch.setenv("NEXTOU_IN_SCALAR_AB", "1")
+    got = model.apply(v, x, train=False)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    scale = np.maximum(np.abs(w), 1.0)
+    assert (np.abs(g - w) <= 0.05 * scale).all(), np.abs(
+        (g - w) / scale
+    ).max()
+    # and the default state must be the scalar-AB one (regression-pin)
+    monkeypatch.delenv("NEXTOU_IN_SCALAR_AB", raising=False)
+    dflt = model.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(dflt, np.float32), g)
+
+
+def test_folded_conv_tuple_matches_concat():
+    """Tuple-input FoldedConv (the NEXTOU_SPLIT_CONCAT building block):
+    conv((a, b)) must equal conv(concat(a, b)) in forward AND gradients —
+    it slices the SAME shared kernel parameter."""
+    from nextou_tpu.nn.layers import FoldedConv
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((2, 6, 8, 10, 4)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, 6, 8, 10, 3)), jnp.float32)
+    for k, s in [((3, 3, 3), (1, 1, 1)), ((1, 3, 3), (1, 1, 1))]:
+        mod = FoldedConv(
+            features=5, kernel_size=k, strides=s,
+            padding=tuple(((kk - 1) // 2, (kk - 1) // 2) for kk in k),
+        )
+        v = mod.init(jax.random.PRNGKey(0), (a, b))
+        v = {"params": {
+            "kernel": jnp.asarray(
+                rng.standard_normal(v["params"]["kernel"].shape), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal((5,)), jnp.float32),
+        }}
+        assert v["params"]["kernel"].shape[-2] == 7  # concat width
+        want = mod.apply(v, jnp.concatenate([a, b], axis=-1))
+        got = mod.apply(v, (a, b))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+            err_msg=f"{k} {s}",
+        )
+
+        def loss_tuple(v, a, b):
+            y = mod.apply(v, (a, b))
+            w = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape)
+            return jnp.sum(y * w) / y.size
+
+        def loss_concat(v, a, b):
+            y = mod.apply(v, jnp.concatenate([a, b], axis=-1))
+            w = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape)
+            return jnp.sum(y * w) / y.size
+
+        gt = jax.grad(loss_tuple, argnums=(0, 1, 2))(v, a, b)
+        gc = jax.grad(loss_concat, argnums=(0, 1, 2))(v, a, b)
+        for g, w_ in zip(jax.tree_util.tree_leaves(gt),
+                         jax.tree_util.tree_leaves(gc)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w_), atol=3e-5, rtol=1e-5,
+                err_msg=f"{k} {s}",
+            )
+
+
+def test_model_split_concat_env_agrees(monkeypatch):
+    """NEXTOU_SPLIT_CONCAT=1 (decoder feeds (upsampled, skip) tuples into
+    FoldedConv) must match the default concat model: forward and parameter
+    gradients. Conv-only model — the FoldedConv unit test above pins the
+    exact identity; InstanceNorm divisions then amplify f32 rounding, so
+    the model-level bound is accumulation-scale."""
+    from nextou_tpu.models.plain_unet import PlainConvUNet
+    from nextou_tpu.utils import fast_init
+
+    spec = _tiny_plain_spec()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(
+        rng.standard_normal((2, *spec.patch_size, spec.in_channels)),
+        jnp.float32,
+    )
+    model = PlainConvUNet(spec=spec, dtype=jnp.float32)
+    v = fast_init(model, 0, x, train=False)
+
+    monkeypatch.delenv("NEXTOU_SPLIT_CONCAT", raising=False)
+    want = model.apply(v, x, train=False)
+    monkeypatch.setenv("NEXTOU_SPLIT_CONCAT", "1")
+    got = model.apply(v, x, train=False)
+    w = np.asarray(want)
+    g = np.asarray(got)
+    scale = np.maximum(np.abs(w), 1.0)
+    assert (np.abs(g - w) <= 1e-3 * scale).all(), np.abs(
+        (g - w) / scale
+    ).max()
+
+    def loss(v, on):
+        if on:
+            monkeypatch.setenv("NEXTOU_SPLIT_CONCAT", "1")
+        else:
+            monkeypatch.delenv("NEXTOU_SPLIT_CONCAT", raising=False)
+        outs = model.apply(v, x, train=False)
+        return jnp.mean(jnp.square(outs))
+
+    g1 = jax.grad(lambda v: loss(v, True))(v)
+    g0 = jax.grad(lambda v: loss(v, False))(v)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(g1),
+                      jax.tree_util.tree_leaves(g0)):
+        a_, b_ = np.asarray(a_), np.asarray(b_)
+        s = np.maximum(np.abs(b_), 1e-3)
+        assert (np.abs(a_ - b_) <= 1e-3 * s).all(), np.abs(
+            (a_ - b_) / s
+        ).max()
