@@ -275,7 +275,7 @@ def _knn_indices_pallas(xn, yn, rel, *, k, tile_n, block_b, interpret):
     )(*operands)
 
 
-def _coord_dtype(raw_dtype) -> jnp.dtype:
+def _coord_dtype(raw_dtype, train: bool = False) -> jnp.dtype:
     """Dtype the *normalized coordinates* are held in for selection.
 
     bf16 models select on bf16-rounded normalized features (the inner
@@ -285,7 +285,15 @@ def _coord_dtype(raw_dtype) -> jnp.dtype:
     f32 coordinates. NEXTOU_KNN_BF16=0 reverts to f32 everywhere. Applied
     IDENTICALLY to the fused kernel and the XLA fallback so the two paths
     stay mutually consistent.
+
+    TRAIN steps select in f32 (round-4 measurement, tools/bench_train_step:
+    f32 selection is *faster* in the train step — 1.60 vs 1.44 patches/s —
+    and matches the reference's fp32 no-grad graph build during training,
+    torch_edge.py:154-163; bf16 selection's 4.6 ms win is an inference
+    property). NEXTOU_KNN_TRAIN_BF16=1 opts training back in.
     """
+    if train and os.environ.get("NEXTOU_KNN_TRAIN_BF16", "0") != "1":
+        return jnp.float32
     if (
         raw_dtype == jnp.bfloat16
         and os.environ.get("NEXTOU_KNN_BF16", "1") == "1"
@@ -299,9 +307,10 @@ def knn_max_neighbors_reference(
     k: int,
     y: jax.Array | None = None,
     relative_pos: jax.Array | None = None,
+    train: bool = False,
 ) -> jax.Array:
     """Pure-XLA fallback: normalize, kNN, gather, max over neighbors."""
-    cdt = _coord_dtype(x.dtype)
+    cdt = _coord_dtype(x.dtype, train)
     xn = _l2_normalize(x.astype(jnp.float32), axis=-1).astype(cdt)
     yn = (
         xn
@@ -333,9 +342,11 @@ def knn_max_neighbors_reference(
 # precision is covered by tests/test_kernels.py (interpret mode).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _knn_max_fused(k: int, tile_n: int, block_b: int, interpret: bool, x, y, rel):
-    cdt = _coord_dtype(x.dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _knn_max_fused(
+    k: int, tile_n: int, block_b: int, interpret: bool, train: bool, x, y, rel
+):
+    cdt = _coord_dtype(x.dtype, train)
     xn = _l2_normalize(x.astype(jnp.float32), axis=-1).astype(cdt)
     yn = _l2_normalize(y.astype(jnp.float32), axis=-1).astype(cdt)
     # keep the *values* in bf16 when that's the model dtype: the selection
@@ -349,15 +360,18 @@ def _knn_max_fused(k: int, tile_n: int, block_b: int, interpret: bool, x, y, rel
     return out.astype(x.dtype)
 
 
-def _knn_max_fused_fwd(k, tile_n, block_b, interpret, x, y, rel):
-    return _knn_max_fused(k, tile_n, block_b, interpret, x, y, rel), (x, y, rel)
+def _knn_max_fused_fwd(k, tile_n, block_b, interpret, train, x, y, rel):
+    return (
+        _knn_max_fused(k, tile_n, block_b, interpret, train, x, y, rel),
+        (x, y, rel),
+    )
 
 
-def _knn_max_fused_bwd(k, tile_n, block_b, interpret, res, g):
+def _knn_max_fused_bwd(k, tile_n, block_b, interpret, train, res, g):
     x, y, rel = res
 
     def ref(xv, yv):
-        cdt = _coord_dtype(xv.dtype)
+        cdt = _coord_dtype(xv.dtype, train)
         xn = _l2_normalize(xv.astype(jnp.float32), axis=-1).astype(cdt)
         yn = _l2_normalize(yv.astype(jnp.float32), axis=-1).astype(cdt)
         idx = dense_knn(xn, k, y=yn, relative_pos=rel)
@@ -378,6 +392,7 @@ def knn_max_neighbors(
     relative_pos: jax.Array | None = None,
     *,
     tile_n: int | None = None,
+    train: bool = False,
 ) -> jax.Array:
     """Per-channel max over the k nearest neighbors of each node.
 
@@ -392,6 +407,13 @@ def knn_max_neighbors(
             win — grow the tile while the VMEM estimate stays inside
             ``NEXTOU_KNN_VMEM_MB`` (default 28, v5e-swept). An explicit
             value pins it (the sweep tool uses this).
+        train: True inside a training step. Selects in f32 (see
+            `_coord_dtype`) and PINS the query tile at the round-2-proven
+            256: auto-GROWN tiles crashed the TPU worker inside the
+            remat-replayed backward at flagship scale (round-4 bisect,
+            tools/bench_train_step.py — conv-only and growth-suppressed
+            configs pass, grown-tile config faults deterministically),
+            while the same grown kernels are bench-proven in inference.
     Returns:
         (B, N, C) in x.dtype.
     """
@@ -414,9 +436,9 @@ def knn_max_neighbors(
     def fallback():
         # honor the 'returns x.dtype' contract on every path (the reference
         # helper returns the VALUE dtype, which differs on mixed-dtype calls)
-        return knn_max_neighbors_reference(x, k, y, relative_pos).astype(
-            x.dtype
-        )
+        return knn_max_neighbors_reference(
+            x, k, y, relative_pos, train=train
+        ).astype(x.dtype)
 
     if interpret and os.environ.get("NEXTOU_PALLAS_INTERPRET", "0") != "1":
         # the Pallas interpreter is an order of magnitude slower than the
@@ -433,7 +455,7 @@ def knn_max_neighbors(
     # undercount VMEM for a mixed-dtype (bf16 x, f32 y) call
     val_bytes = 2 if vals.dtype == jnp.bfloat16 else 4
     # coordinate blocks (xn/yn) are held at the selection dtype
-    coord_bytes = 2 if _coord_dtype(x.dtype) == jnp.bfloat16 else 4
+    coord_bytes = 2 if _coord_dtype(x.dtype, train) == jnp.bfloat16 else 4
 
     def est_vmem(bb: int, t: int) -> int:
         # double-buffered operand/output blocks + rel (when present) +
@@ -467,12 +489,14 @@ def knn_max_neighbors(
     auto_tile = tile_n is None
     tile_req = 256 if auto_tile else tile_n
     # Auto tile GROWTH (and the wider VMEM budget that enables it) is
-    # restricted to the bf16-coordinate path: the f32-coordinate kernel
-    # faulted the TPU worker twice at auto-grown tiles (round-3 A/B,
-    # NEXTOU_KNN_BF16=0 runs) while the round-2 tile-256/15MB settings are
-    # bench-proven for f32 — so the f32 path keeps exactly those.
-    bf16_coords = _coord_dtype(x.dtype) == jnp.bfloat16
-    if bf16_coords:
+    # restricted to the bf16-coordinate INFERENCE path: the f32-coordinate
+    # kernel faulted the TPU worker twice at auto-grown tiles (round-3 A/B,
+    # NEXTOU_KNN_BF16=0 runs), and the bf16 grown-tile kernels fault it
+    # inside the remat-replayed backward at flagship scale (round-4 bisect)
+    # — while the round-2 tile-256/15MB settings are bench-proven in both
+    # contexts, so f32 and training keep exactly those.
+    bf16_coords = _coord_dtype(x.dtype, train) == jnp.bfloat16
+    if bf16_coords and not train:
         vmem_budget = (
             int(os.environ.get("NEXTOU_KNN_VMEM_MB", "28") or 28) << 20
         )
@@ -489,14 +513,14 @@ def knn_max_neighbors(
         def est_idx_vmem(t: int) -> int:
             rel_bytes = 2 * t * M * 4 if relative_pos is not None else 0
             # x/yn blocks (double-buffered) + dist & temporaries (~3x t*M)
-            cb = 2 if _coord_dtype(x.dtype) == jnp.bfloat16 else 4
+            cb = 2 if _coord_dtype(x.dtype, train) == jnp.bfloat16 else 4
             return 2 * (t + M) * C * cb + rel_bytes + 3 * t * M * 4
 
         while est_idx_vmem(tile) > (48 << 20) and tile > 8:
             tile = _round_up(tile // 2, 8)
         if est_idx_vmem(tile) > (48 << 20):
             return None
-        cdt = _coord_dtype(x.dtype)
+        cdt = _coord_dtype(x.dtype, train)
         xn = _l2_normalize(x.astype(jnp.float32), axis=-1).astype(cdt)
         yn = (
             xn
@@ -568,4 +592,4 @@ def knn_max_neighbors(
     )
     # self-graph: pass x as the candidate set too; JAX accumulates the two
     # cotangent paths back onto x automatically.
-    return _knn_max_fused(k, tile, block_b, interpret, x, vals, rel)
+    return _knn_max_fused(k, tile, block_b, interpret, train, x, vals, rel)

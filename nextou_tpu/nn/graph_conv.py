@@ -190,7 +190,7 @@ def _mrconv_aggregate(mod, x_nodes, y_nodes, relative_pos, train):
     )
     if mod.fused and mod.dilation == 1:
         maxy = knn_max_neighbors(
-            x_nodes, mod.k, y=y_nodes, relative_pos=relative_pos
+            x_nodes, mod.k, y=y_nodes, relative_pos=relative_pos, train=train
         )
         return mrconv(x_nodes, None, y_nodes, max_neighbors=maxy, train=train)
 

@@ -160,9 +160,9 @@ def test_auto_tile_growth_gated_to_bf16_coords(monkeypatch):
     calls = []
     orig = knn_mod._knn_max_fused
 
-    def spy(k, tile_n, block_b, interpret, x, y, rel):
-        calls.append({"tile": tile_n, "bb": block_b})
-        return orig(k, tile_n, block_b, interpret, x, y, rel)
+    def spy(k, tile_n, block_b, interpret, train, x, y, rel):
+        calls.append({"tile": tile_n, "bb": block_b, "train": train})
+        return orig(k, tile_n, block_b, interpret, train, x, y, rel)
 
     monkeypatch.setattr(knn_mod, "_knn_max_fused", spy)
     rng = np.random.default_rng(11)
@@ -192,6 +192,27 @@ def test_auto_tile_growth_gated_to_bf16_coords(monkeypatch):
     monkeypatch.setenv("NEXTOU_KNN_BF16", "0")
     got = knn_mod.knn_max_neighbors(xbf, 5)
     want = knn_mod.knn_max_neighbors_reference(xbf, 5)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+    assert calls[-1]["tile"] == 256, calls[-1]
+
+    # train=True (round-4 incident): f32 selection + tile pinned at 256 —
+    # bf16 auto-grown tiles crashed the TPU worker inside the remat-replayed
+    # backward at flagship scale (tools/bench_train_step.py bisect)
+    monkeypatch.delenv("NEXTOU_KNN_BF16", raising=False)
+    got = knn_mod.knn_max_neighbors(xbf, 5, train=True)
+    want = knn_mod.knn_max_neighbors_reference(xbf, 5, train=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+    assert calls[-1]["tile"] == 256 and calls[-1]["train"], calls[-1]
+    # ... and NEXTOU_KNN_TRAIN_BF16=1 opts training back into bf16
+    # selection but still NOT into tile growth
+    monkeypatch.setenv("NEXTOU_KNN_TRAIN_BF16", "1")
+    got = knn_mod.knn_max_neighbors(xbf, 5, train=True)
+    want = knn_mod.knn_max_neighbors_reference(xbf, 5, train=True)
     np.testing.assert_array_equal(
         np.asarray(got, np.float32), np.asarray(want, np.float32)
     )

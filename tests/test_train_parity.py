@@ -89,14 +89,8 @@ def _make_batches(spec, n_steps, seed=0):
     return out
 
 
-@requires_reference
-def test_training_dynamics_track_reference():
-    spec = small_3d_spec(num_classes=N_CLASSES, deep_supervision=False)
-    batches = _make_batches(spec, N_STEPS)
-
-    # ---- torch side: reference model, nnU-Net optimizer protocol
-    ref = _build_reference(spec)
-    init_sd = {k: v.detach().clone() for k, v in ref.state_dict().items()}
+def _run_torch_side(ref, batches):
+    """nnU-Net optimizer protocol on the torch reference; returns losses."""
     ref.train()
     opt = torch.optim.SGD(
         ref.parameters(), lr=LR, momentum=0.99, nesterov=True, weight_decay=WD
@@ -112,9 +106,12 @@ def test_training_dynamics_track_reference():
         torch.nn.utils.clip_grad_norm_(ref.parameters(), CLIP)
         opt.step()
         torch_losses.append(float(loss.detach()))
+    return torch_losses
 
-    # ---- our side: same initial weights via the torch importer
-    model = NexToU(spec=spec, dtype=jnp.float32)
+
+def _run_jax_side(spec, init_sd, batches, dtype):
+    """Our model from the same imported init weights; returns losses."""
+    model = NexToU(spec=spec, dtype=dtype)
     optimizer = make_optimizer(
         LR, momentum=0.99, nesterov=True, weight_decay=WD, clip_norm=CLIP
     )
@@ -128,9 +125,7 @@ def test_training_dynamics_track_reference():
         }
     )
     variables = torch_state_dict_to_variables(
-        extract_network_weights({"network_weights": init_sd}),
-        template,
-        spec,
+        extract_network_weights({"network_weights": init_sd}), template, spec
     )
     state = state.replace(
         params=variables["params"],
@@ -147,9 +142,26 @@ def test_training_dynamics_track_reference():
         }
         state, metrics = step(state, batch)
         jax_losses.append(float(metrics["loss"]))
+    return jax_losses
 
-    torch_losses = np.asarray(torch_losses)
-    jax_losses = np.asarray(jax_losses)
+
+@pytest.fixture(scope="module")
+def torch_trajectory_3d():
+    """Shared torch-side run for the 3D small config."""
+    spec = small_3d_spec(num_classes=N_CLASSES, deep_supervision=False)
+    batches = _make_batches(spec, N_STEPS)
+    torch.manual_seed(0)  # reference init draws from torch's global RNG
+    ref = _build_reference(spec)
+    init_sd = {k: v.detach().clone() for k, v in ref.state_dict().items()}
+    torch_losses = _run_torch_side(ref, batches)
+    return spec, batches, init_sd, np.asarray(torch_losses)
+
+
+@requires_reference
+def test_training_dynamics_track_reference(torch_trajectory_3d):
+    spec, batches, init_sd, torch_losses = torch_trajectory_3d
+
+    jax_losses = np.asarray(_run_jax_side(spec, init_sd, batches, jnp.float32))
     # step 0 is pure forward parity on imported weights: tight
     assert abs(jax_losses[0] - torch_losses[0]) < 1e-3, (
         jax_losses[0],
@@ -164,3 +176,137 @@ def test_training_dynamics_track_reference():
     # and training must actually train on both sides
     assert torch_losses[-1] < torch_losses[0]
     assert jax_losses[-1] < jax_losses[0]
+
+
+@requires_reference
+def test_training_dynamics_bf16_envelope():
+    """The SHIPPING compute dtype (bf16 model, f32 losses/optimizer — what
+    bench.py and the trainers actually run) vs the torch fp32 trajectory.
+
+    Width matters (round-4 measurement, /tmp-reproducible via this file's
+    helpers): at the 6-channel test width, end-to-end bf16 lags fp32 by
+    0.21 mean rel-delta over 20 steps — C=6 reductions are pathological
+    for bf16, and torch autocast avoids it only by keeping f32 islands at
+    every norm boundary. At 12/24 channels the delta is 0.045 and the bf16
+    run ends slightly BELOW the fp32 one; the real model is 33-324 wide.
+    So this leg runs a 12/24-wide spec and pins that measured envelope
+    (2x headroom); the A/B of round-3 numerics flags (f32 logits / f32
+    norms / f32 kNN selection: deltas all identical ~0.165 at width 6)
+    showed NO single flag causes the tiny-width effect — it is inherent
+    bf16 conv/matmul compute. Numbers in PARITY.md 'Known deviations'."""
+    spec = small_3d_spec(
+        num_classes=N_CLASSES,
+        deep_supervision=False,
+        features=(12, 24, 24, 24, 24, 24),
+    )
+    batches = _make_batches(spec, N_STEPS)
+    torch.manual_seed(0)
+    ref = _build_reference(spec)
+    init_sd = {k: v.detach().clone() for k, v in ref.state_dict().items()}
+    torch_losses = np.asarray(_run_torch_side(ref, batches))
+    jax_losses = np.asarray(
+        _run_jax_side(spec, init_sd, batches, jnp.bfloat16)
+    )
+    # step 0: pure forward at bf16 vs torch fp32 (logit rounding only; the
+    # selection flips have not yet moved the weights)
+    assert abs(jax_losses[0] - torch_losses[0]) < 2e-2, (
+        jax_losses[0], torch_losses[0],
+    )
+    scale = np.maximum(np.abs(torch_losses), 0.3)
+    bf16_delta = (np.abs(jax_losses - torch_losses) / scale).mean()
+    assert bf16_delta <= 0.10, (
+        f"bf16 trajectory delta {bf16_delta:.4f} exceeds the measured "
+        f"envelope (0.045 at this width, 2x headroom)"
+    )
+    assert jax_losses[-1] < jax_losses[0]
+
+
+def _small_2d_spec():
+    """2D analog of small_3d_spec: the reference's 2D path (RAVIR-style
+    config; NexToU_Encoder_Decoder.py's Conv2d branches) at test scale."""
+    from nextou_tpu.models.spec import build_model_spec
+
+    return build_model_spec(
+        in_channels=1,
+        patch_size=(64, 64),
+        n_stages=5,
+        features_per_stage=[6, 12, 12, 12, 12],
+        kernel_sizes=[(3, 3)] * 5,
+        strides=[(1, 1)] + [(2, 2)] * 4,
+        n_conv_per_stage=[2] * 5,
+        n_conv_per_stage_decoder=[2] * 4,
+        num_classes=N_CLASSES,
+        deep_supervision=False,
+    )
+
+
+def _build_reference_2d(spec):
+    from nextou_tpu.compat.torch_stubs import load_reference_nextou
+    from torch import nn
+
+    cls = load_reference_nextou()
+    return cls(
+        input_channels=spec.in_channels,
+        patch_size=list(spec.patch_size),
+        n_stages=len(spec.encoder),
+        features_per_stage=[st.features for st in spec.encoder],
+        conv_op=nn.Conv2d,
+        kernel_sizes=[list(st.kernel_size) for st in spec.encoder],
+        strides=[list(st.stride) for st in spec.encoder],
+        n_conv_per_stage=[2] * len(spec.encoder),
+        num_classes=N_CLASSES,
+        n_conv_per_stage_decoder=[2] * len(spec.decoder),
+        conv_bias=True,
+        norm_op=nn.BatchNorm2d,
+        norm_op_kwargs={"eps": 1e-5, "affine": True},
+        dropout_op=None,
+        dropout_op_kwargs=None,
+        nonlin=nn.LeakyReLU,
+        nonlin_kwargs={"inplace": True},
+        deep_supervision=True,
+    )
+
+
+@requires_reference
+@pytest.mark.slow
+def test_training_dynamics_track_reference_2d_200_steps():
+    """200-step 2D joint-dynamics parity (VERDICT r3 #7): the 2D reference
+    path (Conv2d branches of the encoder/decoder) with a 10x longer
+    trajectory than the 3D leg. fp noise through momentum compounds over
+    200 steps, so the band widens with step index; the smoothed (11-step
+    moving average) trajectories must stay within 10% throughout."""
+    n_steps = 200
+    spec = _small_2d_spec()
+    batches = _make_batches(spec, n_steps)
+    torch.manual_seed(0)  # reference init draws from torch's global RNG
+    ref = _build_reference_2d(spec)
+    init_sd = {k: v.detach().clone() for k, v in ref.state_dict().items()}
+    torch_losses = np.asarray(_run_torch_side(ref, batches))
+    jax_losses = np.asarray(
+        _run_jax_side(spec, init_sd, batches, jnp.float32)
+    )
+
+    assert abs(jax_losses[0] - torch_losses[0]) < 1e-3, (
+        jax_losses[0], torch_losses[0],
+    )
+    diff = np.abs(jax_losses - torch_losses)
+    scale = np.maximum(np.abs(torch_losses), 0.3)
+    assert np.all(diff[:5] / scale[:5] < 0.02), (
+        list(zip(jax_losses[:5], torch_losses[:5]))
+    )
+    assert np.all(diff[:50] / scale[:50] < 0.10), (
+        (diff[:50] / scale[:50]).max()
+    )
+    # long-horizon: compare smoothed trajectories (step-to-step noise is
+    # real training stochasticity by 200 steps; the LEVEL must agree)
+    k = np.ones(11) / 11.0
+    sm_t = np.convolve(torch_losses, k, mode="valid")
+    sm_j = np.convolve(jax_losses, k, mode="valid")
+    sm_scale = np.maximum(np.abs(sm_t), 0.3)
+    assert np.all(np.abs(sm_j - sm_t) / sm_scale < 0.10), (
+        np.abs(sm_j - sm_t) / sm_scale
+    ).max()
+    # both sides improve (this tiny 2D config at fixed lr only drops ~0.16
+    # in 200 steps — the bar is tracking, not convergence speed)
+    assert torch_losses[-20:].mean() < torch_losses[:5].mean() - 0.1
+    assert jax_losses[-20:].mean() < jax_losses[:5].mean() - 0.1
