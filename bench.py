@@ -369,7 +369,10 @@ def main():
                 return jax.lax.fori_loop(0, 10, body, state)
 
             s10 = run10(state, batch)
-            jax.block_until_ready(s10.params)  # compile the loop
+            # genuine wait for the loop compile+run: tunnel
+            # block_until_ready may return with work still in flight,
+            # which would let t1 absorb it (negative slope, round-4 sweep)
+            _ = float(jax.tree_util.tree_leaves(s10.params)[0].ravel()[0])
             t0 = time.perf_counter()
             s_a, m_a = step(state, batch)
             _ = float(m_a["loss"])

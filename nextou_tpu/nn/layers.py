@@ -170,8 +170,28 @@ def _folded_conv_apply(x, kernel, bias, features, k, s, pad, dt):
         letters = "DHW"[-nd:] if nd <= 3 else None
         assert letters is not None
         kk, ss, pp = k[n_fold:], s[n_fold:], pad[n_fold:]
+        # NEXTOU_PHASE_CONV: "1" phases every eligible strided conv;
+        # "cin-cout[,cin-cout...]" phases only the named channel pairs —
+        # the global A/B lost 24 ms to fusion breakage across ALL strided
+        # convs (PERF.md r3), but the per-op roofline says only TWO
+        # lowerings are pathological (e1a 33-66 at 12.7 TF/s, e2a 66-132
+        # at 15 TF/s vs 37-48 elsewhere), so targeted phasing can capture
+        # their ~13 ms headroom while fusing everywhere else.
+        phase_env = os.environ.get("NEXTOU_PHASE_CONV", "0")
+        if phase_env in ("", "0"):
+            phase_want = False
+        elif phase_env == "1":
+            phase_want = True
+        else:
+            pairs = set()
+            # "+" is an accepted pair separator alongside "," (tool env
+            # grammars use "," between assignments, e.g. exp_ab_layout)
+            for p in phase_env.replace("+", ",").split(","):
+                a, _, b = p.partition("-")
+                pairs.add((int(a), int(b)))
+            phase_want = (x.shape[-1], features) in pairs
         phase_ok = (
-            os.environ.get("NEXTOU_PHASE_CONV", "0") == "1"
+            phase_want
             and any(s_ > 1 for s_ in ss)
             and all(
                 s_ == 1 or (s_ == 2 and k_ == 3 and p_ == (1, 1))

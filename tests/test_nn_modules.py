@@ -269,6 +269,44 @@ def test_phase_conv_matches_default(monkeypatch):
         )
 
 
+def test_phase_conv_targeted_pairs(monkeypatch):
+    """NEXTOU_PHASE_CONV='cin-cout[,...]' phases ONLY the named channel
+    pairs (values must still match the default lowering); other channel
+    pairs keep the default strided path. Verified numerically and via the
+    jaxpr (the polyphase form contains multiple convs per FoldedConv)."""
+    from nextou_tpu.nn.layers import FoldedConv
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, 8, 12, 16, 5)), jnp.float32)
+    mod = FoldedConv(
+        features=6, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+        padding=((1, 1),) * 3,
+    )
+    # init ONCE: FoldedConv params draw from the host-side NumPy RNG
+    # (nn/layers.py), which advances between init calls
+    v = mod.init(jax.random.PRNGKey(0), x)
+
+    def run(env):
+        if env is None:
+            monkeypatch.delenv("NEXTOU_PHASE_CONV", raising=False)
+        else:
+            monkeypatch.setenv("NEXTOU_PHASE_CONV", env)
+        jaxpr = str(jax.make_jaxpr(lambda x: mod.apply(v, x))(x))
+        return jaxpr.count("conv_general_dilated"), mod.apply(v, x)
+
+    n_default, want = run(None)
+    assert n_default == 1
+    # named pair -> phased (8 stride-1 convs for s=(2,2,2))
+    n_phased, got = run("5-6")
+    assert n_phased > 1
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
+    # non-matching pair -> default lowering
+    n_other, _ = run("33-66,66-132")
+    assert n_other == 1
+
+
 def test_shuffle_conv_transpose_env_fallback(monkeypatch):
     """NEXTOU_SHUFFLE_TRANSPCONV=0 routes through lax.conv_transpose and
     must produce the same values as the pixel-shuffle path."""

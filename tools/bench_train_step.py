@@ -68,7 +68,9 @@ def main():
             return st
         return run
     r10 = loop(10)
-    s10 = r10(state, batch); jax.block_until_ready(s10.params)     # compile
+    s10 = r10(state, batch)   # compile
+    # genuine wait (tunnel block_until_ready may not block; host fetch does)
+    _ = float(jax.tree_util.tree_leaves(s10.params)[0].ravel()[0])
     # slope between 1 jitted step and a 10-step in-device loop cancels the
     # per-dispatch (tunnel) latency
     t0 = time.perf_counter(); s_a, m_a = step(state, batch); _ = float(m_a["loss"]); t1 = time.perf_counter() - t0

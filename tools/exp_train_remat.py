@@ -67,7 +67,11 @@ def run_one(remat, B):
         return jax.lax.fori_loop(0, 10, body, state)
 
     s10 = r10(state, batch)
-    jax.block_until_ready(s10.params)
+    # genuine wait: through the tunneled TPU, block_until_ready may return
+    # while the computation is still in flight (CLAUDE.md) — which made t1
+    # absorb the queued 10-step run and the slope go NEGATIVE (round-4
+    # sweep). A host fetch truly drains the stream.
+    _ = float(jax.tree_util.tree_leaves(s10.params)[0].ravel()[0])
     t0 = time.perf_counter()
     s_a, m_a = step(state, batch)
     _ = float(m_a["loss"])
