@@ -67,7 +67,14 @@ VOL_SHAPE = (64, 280, 240)  # -> 4 flagship tiles at step 0.5
 
 def _is_oom(e: Exception) -> bool:
     msg = str(e)
-    return "RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
+    # the tunneled compile service reports HBM exhaustion during compile as
+    # an INTERNAL remote_compile HTTP 500 (observed in the round-4 remat
+    # sweep), so treat that as OOM for backoff purposes too
+    return (
+        "RESOURCE_EXHAUSTED" in msg
+        or "Ran out of memory" in msg
+        or ("remote_compile" in msg and "HTTP 500" in msg)
+    )
 
 
 def main():
@@ -316,13 +323,14 @@ def main():
             else:
                 tspec = _fs(deep_supervision=True)
             train_b = int(os.environ.get("NEXTOU_TRAIN_BENCH_BATCH", "2"))
-            remat = {"1": True, "0": False, "big": "big"}[
-                os.environ.get("NEXTOU_BENCH_REMAT", "1")
-            ]
-            tmodel = NexToU(
-                spec=tspec, dtype=jnp.bfloat16, remat=remat,
-                channel_major_logits=True,
-            )
+            # 'big' (remat only the high-res stages) is the measured-best
+            # flagship config (575 ms/patch vs 625 at full remat, round-4
+            # sweep) but sits closer to the HBM ceiling, so back off to
+            # full remat if its compile OOMs in bench context
+            remat_env = os.environ.get("NEXTOU_BENCH_REMAT", "big")
+            remat_try = [{"1": True, "0": False, "big": "big"}[remat_env]]
+            if remat_env == "big":
+                remat_try.append(True)
             rng = np.random.default_rng(0)
             tx = jnp.asarray(
                 rng.standard_normal(
@@ -335,19 +343,6 @@ def main():
                 weight_decay=3e-5,
                 clip_norm=12.0,
             )
-            state = jax.device_put(
-                create_train_state(tmodel, opt, tx[:1], jax.random.PRNGKey(0))
-            )
-            jax.block_until_ready(state.params)
-            step = make_train_step(
-                tmodel,
-                opt,
-                CompoundLossSpec(
-                    weight_ce=1.0, weight_dice=1.0, weight_ti=0.0,
-                    batch_dice=True, smooth=1e-5, do_bg=False,
-                ),
-                deep_supervision_weights(len(tspec.decoder)),
-            )
             seg = jnp.asarray(
                 rng.integers(
                     0, tspec.num_classes, (train_b, *tspec.patch_size)
@@ -355,8 +350,40 @@ def main():
                 jnp.int32,
             )
             batch = {"data": tx, "seg": seg}
-            state, m = step(state, batch)
-            _ = float(m["loss"])  # genuine wait (tunnel block_until_ready lies)
+            for i, remat in enumerate(remat_try):
+                tmodel = NexToU(
+                    spec=tspec, dtype=jnp.bfloat16, remat=remat,
+                    channel_major_logits=True,
+                )
+                state = jax.device_put(
+                    create_train_state(
+                        tmodel, opt, tx[:1], jax.random.PRNGKey(0)
+                    )
+                )
+                jax.block_until_ready(state.params)
+                step = make_train_step(
+                    tmodel,
+                    opt,
+                    CompoundLossSpec(
+                        weight_ce=1.0, weight_dice=1.0, weight_ti=0.0,
+                        batch_dice=True, smooth=1e-5, do_bg=False,
+                    ),
+                    deep_supervision_weights(len(tspec.decoder)),
+                )
+                try:
+                    state, m = step(state, batch)
+                    # genuine wait (tunnel block_until_ready lies)
+                    _ = float(m["loss"])
+                    break
+                except Exception as e:  # noqa: BLE001
+                    if i + 1 < len(remat_try) and _is_oom(e):
+                        _log(
+                            f"train remat={remat!r} OOM -> "
+                            f"backing off to {remat_try[i + 1]!r}"
+                        )
+                        del state, step, tmodel
+                        continue
+                    raise
             _log(f"train-step compile+first (batch {train_b}, remat={remat!r})")
 
             # 1-step vs 10-step in-device loop slope cancels dispatch latency

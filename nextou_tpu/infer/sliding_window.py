@@ -183,38 +183,43 @@ def make_device_sliding_predictor(
 
         return jax.vmap(one)(coords)  # (T, *patch, Cin)
 
-    # Mirror-batched TTA (NEXTOU_TTA_BATCH_MIRRORS=1): stack all 2^|axes|
-    # flip variants into ONE forward of batch len(combos)*T instead of
-    # len(combos) sequential forwards of batch T. Same FLOPs; lets XLA
-    # schedule one large batch (helps when T is small enough that a single
-    # mirror batch under-fills the MXU; costs HBM working set). Default off
-    # until the in-model A/B on the real chip decides (VERDICT r3 #5).
+    # Mirror-batched TTA (NEXTOU_TTA_BATCH_MIRRORS=g): stack g of the
+    # 2^|axes| flip variants per forward, i.e. ceil(len(combos)/g) forwards
+    # of batch g*T instead of len(combos) sequential forwards of batch T.
+    # Same FLOPs; lets the forward run at the device-optimal batch even
+    # when the accumulation tile_batch T is small (TTA backs off to T=2 on
+    # 16 GB HBM, but the flagship forward is fastest around batch 4).
+    # "1" = all mirrors in one dispatch (the original all-or-nothing mode);
+    # 0/unset = sequential. Default off until the on-chip A/B decides
+    # (VERDICT r3 #5).
     import os as _os
 
-    _batch_mirrors = (
-        len(combos) > 1
-        and _os.environ.get("NEXTOU_TTA_BATCH_MIRRORS", "0") == "1"
-    )
+    _mirror_group = int(_os.environ.get("NEXTOU_TTA_BATCH_MIRRORS", "0"))
+    if _mirror_group == 1:
+        _mirror_group = len(combos)
+    _batch_mirrors = len(combos) > 1 and _mirror_group > 1
 
     def _tile_forward(tiles):
         if _batch_mirrors:
-            stacked = jnp.concatenate(
-                [
-                    jnp.flip(tiles, tuple(a + 1 for a in combo))
-                    if combo
-                    else tiles
-                    for combo in combos
-                ],
-                axis=0,
-            )
-            logits = apply_fn(stacked)
-            parts = jnp.split(logits, len(combos), axis=0)
             total = None
-            for combo, part in zip(combos, parts):
-                if combo:
-                    part = jnp.flip(part, tuple(a + 1 for a in combo))
-                probs = act(part.astype(jnp.float32))
-                total = probs if total is None else total + probs
+            for g0 in range(0, len(combos), _mirror_group):
+                group = combos[g0 : g0 + _mirror_group]
+                stacked = jnp.concatenate(
+                    [
+                        jnp.flip(tiles, tuple(a + 1 for a in combo))
+                        if combo
+                        else tiles
+                        for combo in group
+                    ],
+                    axis=0,
+                )
+                logits = apply_fn(stacked)
+                parts = jnp.split(logits, len(group), axis=0)
+                for combo, part in zip(group, parts):
+                    if combo:
+                        part = jnp.flip(part, tuple(a + 1 for a in combo))
+                    probs = act(part.astype(jnp.float32))
+                    total = probs if total is None else total + probs
             return total / float(len(combos))
         total = None
         for combo in combos:

@@ -245,9 +245,10 @@ class NexToUTrainer:
                 net_probe.compute_conv_feature_map_size()
                 * self.batch_size * 2 * 6
             )
-            # measured on v5e-16GB at flagship scale: est ~13 GiB (B=1)
-            # fits with 'big' (700 ms/patch), est ~26 GiB (B=2) needs full
-            # remat (680 ms/patch at B=2); under 12 GiB store everything
+            # measured on v5e-16GB at flagship scale (round-4 sweep, bf16
+            # norm/logit footprint): est 18.4 GiB (B=2) fits 'big' at
+            # 575 ms/patch and OOMs remat=False; est 27.6 GiB (B=3) OOMs
+            # 'big'; under 12 GiB store everything
             if est <= 12 * 1024**3:
                 self.remat = False
             elif est <= 20 * 1024**3:

@@ -196,13 +196,16 @@ def test_tta_batch_mirrors_matches_sequential(monkeypatch):
             apply_fn, (0, 1), spec.patch_size, spec.num_classes, **kw
         )(data)
     )
-    monkeypatch.setenv("NEXTOU_TTA_BATCH_MIRRORS", "1")
-    bat = np.asarray(
-        make_device_sliding_predictor(
-            apply_fn, (0, 1), spec.patch_size, spec.num_classes, **kw
-        )(data)
-    )
-    np.testing.assert_allclose(bat, seq, atol=3e-5)
+    # "1" = all 4 combos in one dispatch; "2" = two dispatches of 2;
+    # "3" exercises the uneven last group (3 + 1)
+    for g in ("1", "2", "3"):
+        monkeypatch.setenv("NEXTOU_TTA_BATCH_MIRRORS", g)
+        bat = np.asarray(
+            make_device_sliding_predictor(
+                apply_fn, (0, 1), spec.patch_size, spec.num_classes, **kw
+            )(data)
+        )
+        np.testing.assert_allclose(bat, seq, atol=3e-5, err_msg=f"g={g}")
 
 
 def test_device_sliding_window_seg_output():

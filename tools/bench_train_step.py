@@ -25,7 +25,7 @@ def main():
         spec = dataclasses.replace(spec, encoder=enc, decoder=dec)
         print("conv-only variant", flush=True)
     _remat = {"1": True, "0": False, "big": "big"}[
-        os.environ.get("NEXTOU_BENCH_REMAT", "1")
+        os.environ.get("NEXTOU_BENCH_REMAT", "big")
     ]
     model = NexToU(spec=spec, dtype=jnp.bfloat16, remat=_remat,
                    channel_major_logits=True)
