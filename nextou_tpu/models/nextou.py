@@ -135,12 +135,14 @@ class DecoderStage(nn.Module):
             dtype=self.dtype,
             name="transpconv",
         )(x)
-        if os.environ.get("NEXTOU_SPLIT_CONCAT", "0") == "1":
+        if os.environ.get("NEXTOU_SPLIT_CONCAT", "1") == "1":
             # feed (upsampled, skip) as a tuple: the first conv computes
             # conv(concat(...)) as a sum of two per-part convs with sliced
             # weights (FoldedConv tuple input) — skips materializing the
             # concat, whose layout the round-3 trace showed driving the
             # stage-2 decoder conv to 24 TF/s vs the encoder twin's 83.
+            # Default ON since the round-4 in-model A/B: 141.5 vs 154.5 ms
+            # flagship batch-2 forward (tools/exp_ab_layout.py, PERF.md).
             x = (x, skip.astype(x.dtype))
         else:
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)

@@ -680,7 +680,9 @@ def test_model_split_concat_env_agrees(monkeypatch):
     model = PlainConvUNet(spec=spec, dtype=jnp.float32)
     v = fast_init(model, 0, x, train=False)
 
-    monkeypatch.delenv("NEXTOU_SPLIT_CONCAT", raising=False)
+    # both states set explicitly: the default flipped to "1" (split) after
+    # the round-4 in-model A/B, so "unset" no longer means concat
+    monkeypatch.setenv("NEXTOU_SPLIT_CONCAT", "0")
     want = model.apply(v, x, train=False)
     monkeypatch.setenv("NEXTOU_SPLIT_CONCAT", "1")
     got = model.apply(v, x, train=False)
@@ -692,10 +694,7 @@ def test_model_split_concat_env_agrees(monkeypatch):
     ).max()
 
     def loss(v, on):
-        if on:
-            monkeypatch.setenv("NEXTOU_SPLIT_CONCAT", "1")
-        else:
-            monkeypatch.delenv("NEXTOU_SPLIT_CONCAT", raising=False)
+        monkeypatch.setenv("NEXTOU_SPLIT_CONCAT", "1" if on else "0")
         outs = model.apply(v, x, train=False)
         return jnp.mean(jnp.square(outs))
 
