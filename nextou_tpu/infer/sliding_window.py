@@ -190,11 +190,12 @@ def make_device_sliding_predictor(
     # when the accumulation tile_batch T is small (TTA backs off to T=2 on
     # 16 GB HBM, but the flagship forward is fastest around batch 4).
     # "1" = all mirrors in one dispatch (the original all-or-nothing mode);
-    # 0/unset = sequential. Default off until the on-chip A/B decides
-    # (VERDICT r3 #5).
+    # "0" = sequential. Default 2 — the round-4 on-chip A/B
+    # (tools/exp_tta_groups.py, tile_batch 2): g=2 3.438 s/volume vs
+    # sequential 5.087 (+32% tiles/s); g=4 (batch-8 forward) OOMs compile.
     import os as _os
 
-    _mirror_group = int(_os.environ.get("NEXTOU_TTA_BATCH_MIRRORS", "0"))
+    _mirror_group = int(_os.environ.get("NEXTOU_TTA_BATCH_MIRRORS", "2"))
     if _mirror_group == 1:
         _mirror_group = len(combos)
     _batch_mirrors = len(combos) > 1 and _mirror_group > 1

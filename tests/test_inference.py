@@ -190,7 +190,8 @@ def test_tta_batch_mirrors_matches_sequential(monkeypatch):
         return model.apply(variables, x, train=False)
 
     kw = dict(tile_batch=2, transfer_dtype=jnp.float32)
-    monkeypatch.delenv("NEXTOU_TTA_BATCH_MIRRORS", raising=False)
+    # explicit "0": the default became grouped (g=2) after the round-4 A/B
+    monkeypatch.setenv("NEXTOU_TTA_BATCH_MIRRORS", "0")
     seq = np.asarray(
         make_device_sliding_predictor(
             apply_fn, (0, 1), spec.patch_size, spec.num_classes, **kw
