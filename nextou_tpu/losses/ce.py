@@ -28,7 +28,14 @@ def cross_entropy_elementwise(
         lcm = logits.reshape(B, C, -1).astype(jnp.float32)
     logp = jax.nn.log_softmax(lcm, axis=1)  # (B, C, V)
     tgt = jnp.clip(target.reshape(B, 1, -1), 0, C - 1).astype(jnp.int32)
-    picked = jnp.take_along_axis(logp, tgt, axis=1)[:, 0]
+    # Select the true-class log-prob DENSELY: an iota compare broadcast over
+    # the class axis, fused by XLA into the reduction (and its backward into
+    # a dense broadcast multiply). The gather form (take_along_axis) lowers
+    # to scalar-unit gather/scatter fusions that measured ~195 ms/step at
+    # flagship shapes in the round-4 train trace — ~100x this dense form.
+    # C x V compares instead of V loads is the right trade for seg-scale C.
+    cls = jnp.arange(C, dtype=jnp.int32).reshape(1, C, 1)
+    picked = jnp.sum(jnp.where(tgt == cls, logp, 0.0), axis=1)  # (B, V)
     return -picked.reshape(B, *sp)
 
 

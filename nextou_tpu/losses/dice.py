@@ -39,9 +39,12 @@ def soft_dice_loss(
     num_classes = logits.shape[-1] if channels_last else logits.shape[1]
     B = logits.shape[0]
     # memory-efficient statistics, computed CHANNEL-MAJOR:
-    # - never materialize the one-hot target: gather the true-class
-    #   probability per voxel and scatter-add it (and the voxel counts) into
-    #   per-class bins — saves ~2 full-volume f32 temporaries;
+    # - the one-hot target is an iota compare FUSED into the reductions
+    #   (never materialized): intersect/sum_gt/sum_pred are dense masked
+    #   sums over (B, C, V). The earlier gather + scatter-add-into-bins
+    #   form lowered to scalar-unit fusions costing ~240 ms/step at
+    #   flagship shapes (round-4 train trace); the dense compare-and-reduce
+    #   is bandwidth-bound instead (~1 pass over probs);
     # - transpose to (B, C, V) before the f32 softmax: with the small class
     #   dim minor, TPU tiling pads C to the 128-lane width (a measured 9.1x
     #   HBM expansion for C=14 at flagship shapes — the difference between
@@ -54,19 +57,14 @@ def soft_dice_loss(
     else:
         logits_cm = logits.reshape(B, num_classes, -1).astype(jnp.float32)
     probs = jax.nn.softmax(logits_cm, axis=1)
-    p_true = jnp.take_along_axis(probs, flat_t, axis=1)[:, 0]  # (B, V)
-    ones = jnp.ones_like(p_true)
+    cls = jnp.arange(num_classes, dtype=jnp.int32).reshape(1, -1, 1)
+    onehot = (flat_t == cls).astype(jnp.float32)  # (B, C, V), fused
     if loss_mask is not None:
-        m = loss_mask.reshape(B, -1).astype(jnp.float32)
-        p_true = p_true * m
-        ones = m
-        probs = probs * m[:, None, :]
-    flat_t = flat_t[:, 0]
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    intersect = jnp.zeros((B, num_classes), jnp.float32).at[rows, flat_t].add(
-        p_true
-    )
-    sum_gt = jnp.zeros((B, num_classes), jnp.float32).at[rows, flat_t].add(ones)
+        m = loss_mask.reshape(B, 1, -1).astype(jnp.float32)
+        onehot = onehot * m
+        probs = probs * m
+    intersect = jnp.sum(probs * onehot, axis=2)  # (B, C)
+    sum_gt = jnp.sum(onehot, axis=2)
     sum_pred = jnp.sum(probs, axis=2)
     if not do_bg:
         intersect = intersect[:, 1:]
