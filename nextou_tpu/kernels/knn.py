@@ -542,14 +542,40 @@ def knn_max_neighbors(
             k=k, tile_n=tile, block_b=1,
             interpret=interpret,
         )
-        return jnp.max(
-            batched_index_select(vals, idx), axis=2
-        ).astype(x.dtype)
+
+        # checkpoint the gather+max: the (B, N, k, C) gathered-neighbor
+        # tensor would otherwise be SAVED for the max's VJP (~100 MB per
+        # pool grapher at flagship scale — OOMed the B=2 'big'-remat train
+        # step, round-4). Recomputing one gather in the backward keeps only
+        # the (B, N, k) int32 indices (<1 MB) live.
+        @jax.checkpoint
+        def _gather_max(vals):
+            return jnp.max(batched_index_select(vals, idx), axis=2)
+
+        return _gather_max(vals).astype(x.dtype)
 
     if idx_threshold and M >= idx_threshold:
         forced = try_idx_path()
         if forced is not None:
             return forced
+
+    # TRAIN steps route through the indices kernel by default: the fused
+    # kernel's custom VJP re-selects with XLA dense_knn — full distance
+    # matrix + top_k sort + gather, ~75 ms/step across the flagship
+    # graphers in the round-4 train trace — while the indices path shares
+    # ONE Pallas selection between fwd and bwd (stop_gradient on idx), so
+    # the backward is just the (checkpointed) gather/max VJP. Measured
+    # (bench_train_step, B=2, remat='big'): 798 ms/step vs 809 fused —
+    # a small win, because the XLA fwd gather + bwd re-gather give back
+    # most of the saved re-selection; kept as default for the stronger
+    # property that fwd and bwd share ONE selection (no near-tie cotangent
+    # mis-routing). Inference keeps the fused kernel (its one-hot MXU
+    # gather beats XLA's take 2-4x and there is no backward to pay for).
+    # NEXTOU_KNN_TRAIN_IDX=0 reverts.
+    if train and os.environ.get("NEXTOU_KNN_TRAIN_IDX", "1") == "1":
+        out = try_idx_path()
+        if out is not None:
+            return out
 
     # Per-graph VMEM footprint: candidate tiles (2x), query/out tiles,
     # plus dist/iota/onehot scratch (~4x tile*M).

@@ -123,6 +123,10 @@ class DecoderStage(nn.Module):
     stage: DecoderStageSpec
     spec: ModelSpec
     dtype: Any = None
+    # None -> env default. The bare forward wants split ON (+9%, PERF.md);
+    # the fused sliding-window program wants it OFF (2x regression in the
+    # fused loop's layout assignment) — serving builders pass False.
+    split_concat: bool | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array, train: bool) -> jax.Array:
@@ -135,7 +139,12 @@ class DecoderStage(nn.Module):
             dtype=self.dtype,
             name="transpconv",
         )(x)
-        if os.environ.get("NEXTOU_SPLIT_CONCAT", "1") == "1":
+        use_split = (
+            self.split_concat
+            if self.split_concat is not None
+            else os.environ.get("NEXTOU_SPLIT_CONCAT", "1") == "1"
+        )
+        if use_split:
             # feed (upsampled, skip) as a tuple: the first conv computes
             # conv(concat(...)) as a sum of two per-part convs with sliced
             # weights (FoldedConv tuple input) — skips materializing the
@@ -254,6 +263,9 @@ class NexToU(nn.Module):
     # C=14 flagship) — with spatial minor the padding is ~1x. The training
     # path uses this; inference keeps channels-last (softmax/blending reads).
     channel_major_logits: bool = False
+    # Decoder concat lowering: None -> NEXTOU_SPLIT_CONCAT env (default
+    # split). See DecoderStage.split_concat.
+    split_concat: bool | None = None
 
     def compute_conv_feature_map_size(self, input_size=None) -> int:
         """Total conv output elements of a forward pass — the VRAM proxy
@@ -307,9 +319,10 @@ class NexToU(nn.Module):
         n_dec = len(s.decoder)
         for i, st in enumerate(s.decoder):
             cls = dec_r if dec_flags[i] else DecoderStage
-            x = cls(stage=st, spec=s, dtype=self.dtype, name=f"dec_{i}")(
-                x, skips[-(i + 2)], train
-            )
+            x = cls(
+                stage=st, spec=s, dtype=self.dtype,
+                split_concat=self.split_concat, name=f"dec_{i}",
+            )(x, skips[-(i + 2)], train)
             # all seg heads are always *built* so params always exist
             head = SegHead(
                 num_classes=s.num_classes,

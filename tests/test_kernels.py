@@ -197,10 +197,23 @@ def test_auto_tile_growth_gated_to_bf16_coords(monkeypatch):
     )
     assert calls[-1]["tile"] == 256, calls[-1]
 
-    # train=True (round-4 incident): f32 selection + tile pinned at 256 —
-    # bf16 auto-grown tiles crashed the TPU worker inside the remat-replayed
-    # backward at flagship scale (tools/bench_train_step.py bisect)
+    # train=True default (round-4): the INDICES kernel carries training
+    # (one selection shared by fwd/bwd) — the fused kernel must NOT be hit
     monkeypatch.delenv("NEXTOU_KNN_BF16", raising=False)
+    n_fused = len(calls)
+    got = knn_mod.knn_max_neighbors(xbf, 5, train=True)
+    want = knn_mod.knn_max_neighbors_reference(xbf, 5, train=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+    assert len(calls) == n_fused, "train=True should use the indices path"
+
+    # NEXTOU_KNN_TRAIN_IDX=0 reverts training to the fused kernel: f32
+    # selection + tile pinned at 256 — bf16 auto-grown tiles crashed the
+    # TPU worker inside the remat-replayed backward at flagship scale
+    # (tools/bench_train_step.py bisect)
+    monkeypatch.setenv("NEXTOU_KNN_TRAIN_IDX", "0")
     got = knn_mod.knn_max_neighbors(xbf, 5, train=True)
     want = knn_mod.knn_max_neighbors_reference(xbf, 5, train=True)
     assert got.dtype == jnp.bfloat16

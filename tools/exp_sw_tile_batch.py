@@ -30,24 +30,38 @@ from nextou_tpu.infer import make_device_sliding_predictor
 
 
 def main():
-    tbs = [2, 4]
+    # configs: "tb" or "tb/split" (split in {0,1} -> model split_concat)
+    cfgs = ["4/1", "4/0", "2/1"]
     if len(sys.argv) > 1:
-        tbs = [int(t) for t in sys.argv[1].split(":")]
+        cfgs = sys.argv[1].split(":")
     spec = flagship_3d_spec(deep_supervision=False)
-    model = NexToU(spec=spec, dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, *spec.patch_size, spec.in_channels), jnp.bfloat16)
-    v = device_put_variables(fast_init(model, 0, x0, train=False), jnp.bfloat16)
+    model0 = NexToU(spec=spec, dtype=jnp.bfloat16)
+    v = device_put_variables(
+        fast_init(model0, 0, x0, train=False), jnp.bfloat16
+    )
     jax.block_until_ready(v)
     vol = (
         np.random.default_rng(0)
         .standard_normal((64, 280, 240, spec.in_channels))
         .astype(np.float32)
     )
+    # DEVICE-RESIDENT volumes: the tunneled upload (measured as low as
+    # 10 MB/s on a bad day) otherwise floors the pipelined stream and
+    # masks any compute difference. predict() skips jnp.asarray/astype
+    # for an already-bf16 device array.
+    vol_dev = jax.device_put(jnp.asarray(vol, jnp.bfloat16))
+    vols_dev = [vol_dev + jnp.bfloat16(i) for i in range(4)]
+    jax.block_until_ready(vols_dev)
     n_tiles = 4
     print("init done", flush=True)
 
-    for tb in tbs:
-        label = f"tb={tb}"
+    for cfg in cfgs:
+        tb, _, split = cfg.partition("/")
+        tb = int(tb)
+        split_b = None if split == "" else split == "1"
+        model = NexToU(spec=spec, dtype=jnp.bfloat16, split_concat=split_b)
+        label = f"tb={tb} split={split or 'env'}"
         try:
             pred = make_device_sliding_predictor(
                 lambda t: model.apply(v, t, train=False),
@@ -59,23 +73,23 @@ def main():
                 output="seg",
             )
             t0 = time.perf_counter()
-            np.asarray(pred(vol))
+            np.asarray(pred(vol_dev))
             print(f"[{label}] compile+first {time.perf_counter()-t0:.0f}s",
                   flush=True)
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                np.asarray(pred(vol))
+                np.asarray(pred(vol_dev))
                 times.append(time.perf_counter() - t0)
             t_vol = min(times)
-            vols = [vol + i for i in range(4)]
             t0 = time.perf_counter()
-            outs = [np.asarray(s) for s in [pred(w) for w in vols]]
-            t_stream = (time.perf_counter() - t0) / len(vols)
+            outs = [np.asarray(s) for s in [pred(w) for w in vols_dev]]
+            t_stream = (time.perf_counter() - t0) / len(vols_dev)
             del outs
             print(
-                f"[{label}] {t_vol:.3f} s/volume single, {t_stream:.3f} "
-                f"pipelined -> {n_tiles/min(t_vol, t_stream):.2f} tiles/s",
+                f"[{label}] {t_vol:.3f} s/volume device-resident, "
+                f"{t_stream:.3f} streamed -> "
+                f"{n_tiles/min(t_vol, t_stream):.2f} tiles/s",
                 flush=True,
             )
             del pred
