@@ -315,7 +315,15 @@ def main():
         # headline: best protocol — on a healthy tunnel pipelined ~=
         # device-resident; on a degraded tunnel only the device-resident
         # numbers measure the chip
-        sw_pps = n_tiles / min(t_vol, t_stream, t_devres, t_devres_stream)
+        protos = {
+            "host_single": t_vol,
+            "host_pipelined": t_stream,
+            "device_resident": t_devres,
+            "device_resident_stream": t_devres_stream,
+        }
+        win = min(protos, key=protos.get)
+        extras["headline_protocol"] = win
+        sw_pps = n_tiles / protos[win]
         _log(
             f"device-resident: {t_devres:.3f} single / "
             f"{t_devres_stream:.3f} streamed s/volume -> headline "

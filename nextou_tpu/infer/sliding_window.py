@@ -189,15 +189,15 @@ def make_device_sliding_predictor(
     # Same FLOPs; lets the forward run at the device-optimal batch even
     # when the accumulation tile_batch T is small (TTA backs off to T=2 on
     # 16 GB HBM, but the flagship forward is fastest around batch 4).
-    # "1" = all mirrors in one dispatch (the original all-or-nothing mode);
-    # "0" = sequential. Default 2 — the round-4 on-chip A/B
+    # "0" or "1" = sequential (one mirror per dispatch); "all" = every
+    # mirror variant in ONE dispatch (max memory — this is the mode that
+    # OOMed at tile_batch 4). Default 2 — the round-4 on-chip A/B
     # (tools/exp_tta_groups.py, tile_batch 2): g=2 3.438 s/volume vs
     # sequential 5.087 (+32% tiles/s); g=4 (batch-8 forward) OOMs compile.
     import os as _os
 
-    _mirror_group = int(_os.environ.get("NEXTOU_TTA_BATCH_MIRRORS", "2"))
-    if _mirror_group == 1:
-        _mirror_group = len(combos)
+    _mg_env = _os.environ.get("NEXTOU_TTA_BATCH_MIRRORS", "2")
+    _mirror_group = len(combos) if _mg_env == "all" else int(_mg_env)
     _batch_mirrors = len(combos) > 1 and _mirror_group > 1
 
     def _tile_forward(tiles):

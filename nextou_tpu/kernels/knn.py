@@ -543,14 +543,25 @@ def knn_max_neighbors(
             interpret=interpret,
         )
 
-        # checkpoint the gather+max: the (B, N, k, C) gathered-neighbor
-        # tensor would otherwise be SAVED for the max's VJP (~100 MB per
-        # pool grapher at flagship scale — OOMed the B=2 'big'-remat train
-        # step, round-4). Recomputing one gather in the backward keeps only
-        # the (B, N, k) int32 indices (<1 MB) live.
-        @jax.checkpoint
+        # Checkpoint the gather+max ON TPU ONLY: the (B, N, k, C)
+        # gathered-neighbor tensor would otherwise be SAVED for the max's
+        # VJP (~100 MB per pool grapher at flagship scale — OOMed the B=2
+        # 'big'-remat train step, round-4); recomputing one gather in the
+        # backward keeps only the (B, N, k) int32 indices (<1 MB) live.
+        # Off-TPU (interpret mode) the barrier is SKIPPED: gather/max
+        # contain no float arithmetic, but the remat boundary perturbs
+        # XLA:CPU's global fusion (FMA formation in SURROUNDING ops),
+        # breaking bit-parity with the fallback — round-5 adjudication of
+        # the red test_fused_trajectory: selection/values/cotangents are
+        # bit-exact vs the fallback at HIGHEST precision; the 50-step
+        # trajectory split was entirely the checkpoint's ulp-level fusion
+        # perturbation (loss bit-matches with the barrier removed). CPU
+        # RAM needs no remat, so the barrier only exists where it pays.
         def _gather_max(vals):
             return jnp.max(batched_index_select(vals, idx), axis=2)
+
+        if not interpret:
+            _gather_max = jax.checkpoint(_gather_max)
 
         return _gather_max(vals).astype(x.dtype)
 

@@ -60,12 +60,18 @@ def soft_dice_loss(
     cls = jnp.arange(num_classes, dtype=jnp.int32).reshape(1, -1, 1)
     onehot = (flat_t == cls).astype(jnp.float32)  # (B, C, V), fused
     if loss_mask is not None:
+        # mask exactly ONE factor of each product (the reference's
+        # MemoryEfficientSoftDiceLoss applies the mask once per term);
+        # masking both would square a non-binary weighting in `intersect`
         m = loss_mask.reshape(B, 1, -1).astype(jnp.float32)
         onehot = onehot * m
-        probs = probs * m
-    intersect = jnp.sum(probs * onehot, axis=2)  # (B, C)
-    sum_gt = jnp.sum(onehot, axis=2)
-    sum_pred = jnp.sum(probs, axis=2)
+        intersect = jnp.sum(probs * onehot, axis=2)  # (B, C)
+        sum_gt = jnp.sum(onehot, axis=2)
+        sum_pred = jnp.sum(probs * m, axis=2)
+    else:
+        intersect = jnp.sum(probs * onehot, axis=2)  # (B, C)
+        sum_gt = jnp.sum(onehot, axis=2)
+        sum_pred = jnp.sum(probs, axis=2)
     if not do_bg:
         intersect = intersect[:, 1:]
         sum_gt = sum_gt[:, 1:]

@@ -123,9 +123,10 @@ class DecoderStage(nn.Module):
     stage: DecoderStageSpec
     spec: ModelSpec
     dtype: Any = None
-    # None -> env default. The bare forward wants split ON (+9%, PERF.md);
-    # the fused sliding-window program wants it OFF (2x regression in the
-    # fused loop's layout assignment) — serving builders pass False.
+    # None -> env default (ON). Split ON wins BOTH contexts (round-4
+    # on-chip A/Bs, PERF.md): bare forward 141.5 vs 154.5 ms and fused
+    # sliding window 0.443 vs 0.474 s/volume — no builder should pass
+    # False except to reproduce the A/B.
     split_concat: bool | None = None
 
     @nn.compact

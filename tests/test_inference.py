@@ -167,10 +167,10 @@ def test_device_sliding_window_matches_host_path():
 
 
 def test_tta_batch_mirrors_matches_sequential(monkeypatch):
-    """NEXTOU_TTA_BATCH_MIRRORS=1 (all flip variants in one forward of
+    """NEXTOU_TTA_BATCH_MIRRORS='all' (all flip variants in one forward of
     batch 2^|axes|*T) must match the sequential-combo TTA path; the model
     treats batch entries independently, so the only difference is summation
-    order in the probs average."""
+    order in the probs average. '1' is sequential (same as '0')."""
     from nextou_tpu.infer import make_device_sliding_predictor
     from nextou_tpu.models import NexToU
     from nextou_tpu.utils import fast_init
@@ -197,9 +197,9 @@ def test_tta_batch_mirrors_matches_sequential(monkeypatch):
             apply_fn, (0, 1), spec.patch_size, spec.num_classes, **kw
         )(data)
     )
-    # "1" = all 4 combos in one dispatch; "2" = two dispatches of 2;
-    # "3" exercises the uneven last group (3 + 1)
-    for g in ("1", "2", "3"):
+    # "all" = all 4 combos in one dispatch; "2" = two dispatches of 2;
+    # "3" exercises the uneven last group (3 + 1); "1" = sequential
+    for g in ("all", "2", "3", "1"):
         monkeypatch.setenv("NEXTOU_TTA_BATCH_MIRRORS", g)
         bat = np.asarray(
             make_device_sliding_predictor(

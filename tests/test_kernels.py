@@ -230,3 +230,56 @@ def test_auto_tile_growth_gated_to_bf16_coords(monkeypatch):
         np.asarray(got, np.float32), np.asarray(want, np.float32)
     )
     assert calls[-1]["tile"] == 256, calls[-1]
+
+
+def test_knn_train_idx_path_bitwise_jitted(monkeypatch):
+    """The training default (NEXTOU_KNN_TRAIN_IDX=1) must be BIT-identical
+    to the XLA fallback — value AND jitted gradient — on CPU at HIGHEST
+    precision, across every call pattern the graphers use (self/cross-set,
+    with/without relative_pos). This is the primitive-level contract the
+    round-5 adjudication of test_fused_trajectory rests on: any residual
+    trajectory drift at defaults is fusion-level reassociation OUTSIDE this
+    op, not a selection/value/cotangent defect (kernels/knn.py)."""
+    monkeypatch.setenv("NEXTOU_KNN_TRAIN_IDX", "1")
+    rng = np.random.default_rng(1)
+    cases = [
+        ("self+rel", 4, 168, 168, 12, 7, True, True),
+        ("self", 2, 336, 336, 12, 14, False, True),
+        ("cross", 2, 336, 84, 12, 14, False, False),
+        ("cross+rel", 2, 336, 84, 12, 14, True, False),
+    ]
+    for name, B, N, M, C, k, use_rel, self_graph in cases:
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        y = (
+            None
+            if self_graph
+            else jnp.asarray(rng.standard_normal((B, M, C)), jnp.float32)
+        )
+        rel = (
+            jnp.asarray(rng.standard_normal((N, M)) * 0.1, jnp.float32)
+            if use_rel
+            else None
+        )
+        g = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+
+        def loss(fn, x_):
+            out = fn(x_, k, y=y, relative_pos=rel, train=True)
+            return jnp.sum(out * g), out
+
+        (vk, ok), gk = jax.jit(
+            jax.value_and_grad(
+                lambda x_: loss(knn_max_neighbors, x_), has_aux=True
+            )
+        )(x)
+        (vr, orf), gr = jax.jit(
+            jax.value_and_grad(
+                lambda x_: loss(knn_max_neighbors_reference, x_), has_aux=True
+            )
+        )(x)
+        np.testing.assert_array_equal(
+            np.asarray(ok), np.asarray(orf), err_msg=f"{name}: out"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gk), np.asarray(gr), err_msg=f"{name}: grad"
+        )
+        assert float(vk) == float(vr), (name, float(vk), float(vr))
