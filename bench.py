@@ -202,6 +202,39 @@ def main():
     except Exception as e:  # noqa: BLE001
         fail("fwd", e)
 
+    # ---- 2D config forward (RAVIR surface, VERDICT r4 #7) ---------------
+    # On-chip evidence for the 2D path (512x448, 7 stages, base 32 —
+    # nnUNetPlans.json:26-131); everything else benched here is the 3D
+    # flagship. Params are freed right after to keep HBM for the sliding
+    # window (the round-3 OOM was bench-context pressure).
+    if os.environ.get("NEXTOU_BENCH_PRESET", "flagship") == "flagship":
+        try:
+            from nextou_tpu.models.presets import ravir_2d_spec
+
+            spec2d = ravir_2d_spec(deep_supervision=False)
+            model2d = NexToU(spec=spec2d, dtype=jnp.bfloat16)
+            b2d = 12  # the 2d plans batch size
+            x2d = jnp.zeros(
+                (b2d, *spec2d.patch_size, spec2d.in_channels), jnp.bfloat16
+            )
+            v2d = device_put_variables(
+                fast_init(model2d, 0, x2d, train=False), jnp.bfloat16
+            )
+            jax.block_until_ready(v2d)
+            dt2d = device_loop_time(
+                lambda t: model2d.apply(v2d, t, train=False),
+                x2d, n_small=1, n_large=9, repeats=2,
+            )
+            extras["fwd2d_patches_per_sec"] = round(b2d / dt2d, 2)
+            extras["fwd2d_batch"] = b2d
+            _log(
+                f"2d forward: {dt2d*1e3:.1f} ms/batch-{b2d} -> "
+                f"{b2d/dt2d:.1f} patches/s"
+            )
+            del v2d, model2d, x2d
+        except Exception as e:  # noqa: BLE001
+            fail("fwd2d", e)
+
     # ---- north star: fused sliding window, device argmax ---------------
     from nextou_tpu.infer import make_device_sliding_predictor
 

@@ -28,9 +28,16 @@ class ConvNormAct(nn.Module):
     act_name: str = "leakyrelu"
     use_bias: bool = True
     dtype: Any = None
+    # stage-persistent fold (see StackedConvBlocks): input/output arrive/
+    # leave with this many leading spatial axes folded into the batch.
+    # Only valid with BatchNorm, whose (batch+spatial)-per-channel reduction
+    # is the same set folded or not.
+    pre_folded: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        if self.pre_folded:
+            assert self.norm == "batch", self.norm
         x = FoldedConv(
             features=self.features,
             kernel_size=tuple(self.kernel_size),
@@ -38,6 +45,7 @@ class ConvNormAct(nn.Module):
             padding=tuple(((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size),
             use_bias=self.use_bias,
             dtype=self.dtype,
+            pre_folded=self.pre_folded,
             name="conv",
         )(x)
         x = make_norm(self.norm, train=train, name="norm", dtype=self.dtype)(x)
@@ -129,7 +137,21 @@ class StackedResidualBlocks(nn.Module):
 
 
 class StackedConvBlocks(nn.Module):
-    """``num_convs`` ConvNormAct blocks; only the first is strided."""
+    """``num_convs`` ConvNormAct blocks; only the first is strided.
+
+    Stage-persistent fold (``NEXTOU_STAGE_FOLD``): when every conv in the
+    stage has pointwise leading axes (kernel 1, stride 1 — nnU-Net's
+    anisotropic (1,3,3) stages), the per-conv fold/unfold inside FoldedConv
+    makes XLA relayout the full-res feature map at every block boundary:
+    the conv prefers folded-batch-on-lanes {0,3,2,1} (B*D=128 fills the
+    lanes where C=33 cannot) while the unfold reshape needs dim 0 major —
+    3x 363 MB copies = 9.3 ms/step at the flagship stem (round-5 trace,
+    PERF.md seam inventory). This path folds ONCE at stage entry and
+    unfolds ONCE at exit; convs run with ``pre_folded`` (full-rank params,
+    importer unchanged) and BatchNorm statistics are fold-invariant (the
+    per-channel reduction covers batch+spatial either way). Requires
+    norm='batch'; instance norm would need fold-aware statistics.
+    """
 
     num_convs: int
     features: int
@@ -141,15 +163,38 @@ class StackedConvBlocks(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
-        ones = (1,) * len(self.kernel_size)
+        import os
+
+        k = tuple(self.kernel_size)
+        s0 = tuple(self.first_stride)
+        n_fold = 0
+        if (
+            os.environ.get("NEXTOU_STAGE_FOLD", "0") == "1"
+            and os.environ.get("NEXTOU_NO_FOLD", "0") != "1"
+            and self.norm == "batch"
+        ):
+            while n_fold < len(k) - 1 and k[n_fold] == 1 and s0[n_fold] == 1:
+                n_fold += 1
+        lead = None
+        if n_fold:
+            parts = x if isinstance(x, (tuple, list)) else (x,)
+            lead = parts[0].shape[: 1 + n_fold]
+            folded = tuple(
+                p.reshape(-1, *p.shape[1 + n_fold :]) for p in parts
+            )
+            x = folded if len(folded) > 1 else folded[0]
+        ones = (1,) * len(k)
         for i in range(self.num_convs):
             x = ConvNormAct(
                 features=self.features,
-                kernel_size=self.kernel_size,
-                strides=tuple(self.first_stride) if i == 0 else ones,
+                kernel_size=k,
+                strides=s0 if i == 0 else ones,
                 norm=self.norm,
                 act_name=self.act_name,
                 dtype=self.dtype,
+                pre_folded=n_fold,
                 name=f"block_{i}",
             )(x, train=train)
+        if n_fold:
+            x = x.reshape(*lead, *x.shape[1:])
         return x

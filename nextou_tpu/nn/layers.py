@@ -101,6 +101,12 @@ class FoldedConv(nn.Module):
     padding: Sequence[tuple[int, int]]
     use_bias: bool = True
     dtype: Any = None
+    # The caller already folded this many leading (pointwise) spatial axes
+    # into the batch (stage-persistent fold, conv_blocks.py): the input is
+    # (B*prod(lead), *rest, C) and the output is returned folded too. The
+    # 'kernel' param keeps its FULL rank (checkpoints/importer unchanged);
+    # only the apply drops the unit leading taps.
+    pre_folded: int = 0
 
     @nn.compact
     def __call__(self, x) -> jax.Array:
@@ -126,6 +132,13 @@ class FoldedConv(nn.Module):
             else None
         )
         dt = self.dtype or parts[0].dtype
+        if self.pre_folded:
+            nf = self.pre_folded
+            assert all(
+                k[i] == 1 and s[i] == 1 and pad[i] == (0, 0) for i in range(nf)
+            ), (k, s, pad, nf)
+            kernel = kernel.reshape(*k[nf:], cin, self.features)
+            k, s, pad = k[nf:], s[nf:], pad[nf:]
         if len(parts) > 1:
             off, ys = 0, []
             for p in parts:

@@ -162,7 +162,8 @@ class NexToUTrainer:
             self.configure_rotation_dummyDA_mirroring_and_initial_patch_size()
         )
         return AugmentConfig(
-            rotation_rad=tuple(rot), dummy_2d=do_dummy, mirror_axes=mirror
+            rotation_rad=tuple(rot), dummy_2d=do_dummy, mirror_axes=mirror,
+            final_patch_size=tuple(self.configuration_manager.patch_size),
         )
 
     def _loss_spec(self) -> CompoundLossSpec:
@@ -380,9 +381,24 @@ class NexToUTrainer:
 
             local_bs = local_share(self.batch_size)
             seed = self.seed + 9973 * jax.process_index()
+        self._resolve_device_da()
+        aug = None if self.device_da else self._augment_config()
+        # host DA samples the LARGER initial patch (exact nnU-Net
+        # rotate-then-crop semantics, data/augment.py); device DA and
+        # validation sample the final size directly
+        sampler_patch = patch
+        if aug is not None and aug.final_patch_size is not None:
+            from nextou_tpu.data.augment import initial_patch_size
+
+            sampler_patch = initial_patch_size(
+                patch, aug.rotation_rad, aug.dummy_2d, aug.scale_range
+            )
+            self.print_to_log_file(
+                f"host DA: initial patch size {sampler_patch} -> {patch}"
+            )
         train_sampler = PatchSampler(
             train_ds,
-            patch,
+            sampler_patch,
             local_bs,
             self.oversample_foreground_percent,
             seed=seed,
@@ -391,8 +407,6 @@ class NexToUTrainer:
             val_ds, patch, local_bs,
             self.oversample_foreground_percent, seed=seed + 1,
         )
-        self._resolve_device_da()
-        aug = None if self.device_da else self._augment_config()
         cascade = self.configuration_manager.previous_stage_name is not None
         onehot = (
             tuple(self.label_manager.foreground_labels) if cascade else None

@@ -11,6 +11,7 @@ per-iteration slope between two loop lengths (fixed overheads cancel).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable
 
@@ -24,15 +25,19 @@ def device_loop_time(
     n_small: int = 2,
     n_large: int = 34,
     repeats: int = 3,
+    compiler_options: dict | None = None,
 ) -> float:
     """Seconds per call of ``f(x)`` measured on-device.
 
     ``f`` maps an array to an array; a scalar of the output is fed back into
-    the input each iteration to serialize the loop.
+    the input each iteration to serialize the loop. ``compiler_options``
+    forwards XLA debug options for this executable only (the flag-sweep
+    channel that reaches a REMOTE compiler — client-side XLA_FLAGS do not,
+    tools/exp_xla_flags.py).
     """
 
     def make(n):
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=compiler_options)
         def run(x):
             def body(i, x):
                 y = f(x)

@@ -707,3 +707,65 @@ def test_model_split_concat_env_agrees(monkeypatch):
         assert (np.abs(a_ - b_) <= 1e-3 * s).all(), np.abs(
             (a_ - b_) / s
         ).max()
+
+
+def test_stage_fold_matches_unfolded(monkeypatch):
+    """NEXTOU_STAGE_FOLD=1 (stage-persistent fold of pointwise leading axes,
+    conv_blocks.py) must match the default per-conv fold path: same params,
+    same outputs (convs are the identical 2D lowering; BatchNorm statistics
+    are fold-invariant), for plain and tuple (split-concat) inputs, train
+    and eval, including a strided first conv on the non-leading axes."""
+    from nextou_tpu.nn.conv_blocks import StackedConvBlocks
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 4, 12, 10, 6)), jnp.float32)
+    xt = (
+        jnp.asarray(rng.standard_normal((2, 4, 12, 10, 3)), jnp.float32),
+        jnp.asarray(rng.standard_normal((2, 4, 12, 10, 4)), jnp.float32),
+    )
+
+    for inp, stride, tag in [
+        (x, (1, 1, 1), "plain"),
+        (x, (1, 2, 2), "strided"),
+        (xt, (1, 1, 1), "tuple"),
+    ]:
+        mod = StackedConvBlocks(
+            num_convs=2, features=8, kernel_size=(1, 3, 3),
+            first_stride=stride, norm="batch",
+        )
+        shape_src = inp[0] if isinstance(inp, tuple) else inp
+        monkeypatch.setenv("NEXTOU_STAGE_FOLD", "0")
+        v = mod.init(jax.random.PRNGKey(0), inp, train=False)
+        base_eval = mod.apply(v, inp, train=False)
+        base_train, st0 = mod.apply(
+            v, inp, train=True, mutable=["batch_stats"]
+        )
+        monkeypatch.setenv("NEXTOU_STAGE_FOLD", "1")
+        v2 = mod.init(jax.random.PRNGKey(0), inp, train=False)
+        # identical param tree STRUCTURE + shapes (full-rank kernels) in
+        # both modes (values differ: init draws from a stateful host RNG)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a).shape, np.asarray(b).shape
+            ),
+            v["params"], v2["params"],
+        )
+        fold_eval = mod.apply(v, inp, train=False)
+        fold_train, st1 = mod.apply(
+            v, inp, train=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(fold_eval), np.asarray(base_eval),
+            rtol=1e-6, atol=1e-6, err_msg=f"{tag}: eval",
+        )
+        np.testing.assert_allclose(
+            np.asarray(fold_train), np.asarray(base_train),
+            rtol=1e-5, atol=1e-5, err_msg=f"{tag}: train",
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"{tag}: batch_stats",
+            ),
+            st0["batch_stats"], st1["batch_stats"],
+        )
