@@ -230,8 +230,15 @@ def _folded_conv_apply(x, kernel, bias, features, k, s, pad, dt):
             and n_fold == 0
             and kk == (3, 3, 3)
             and all(p_ == (1, 1) for p_ in pp)
-            and pallas_mode in ("1", "s1")
-            and (pallas_mode == "1" or all(s_ == 1 for s_ in ss))
+            and pallas_mode in ("1", "s1", "s2")
+            and (
+                pallas_mode == "1"
+                or (pallas_mode == "s1" and all(s_ == 1 for s_ in ss))
+                # "s2": ONLY the strided lowerings (e1a/e2a — the two
+                # pathological XLA shapes, 13.4/15.7 TF/s) go through the
+                # kernel; stride-1 convs keep XLA's conv+epilogue fusion
+                or (pallas_mode == "s2" and any(s_ > 1 for s_ in ss))
+            )
         )
         if pallas_ok:
             from nextou_tpu.kernels.conv import (

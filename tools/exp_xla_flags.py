@@ -38,6 +38,8 @@ FLAG_SETS = [
     ("aggressive_loop_fusion_layout",
      {"xla_tpu_enable_aggressive_loop_fusion_layout_opt": "true"}),
     ("fusion_layout_update", {"xla_tpu_enable_fusion_layout_update": "true"}),
+    # CRASHES the TPU worker at these shapes (round-5 sweep) — keep last
+    # or run isolated; a crashed worker poisons every later in-process point
     ("conv_pad_input_feature",
      {"xla_jf_conv_prefers_padding_input_feature": "true"}),
     ("input_conv_multi_users", {"xla_tpu_input_conv_multi_users": "true"}),
@@ -49,10 +51,18 @@ FLAG_SETS = [
                      "xla_tpu_copy_fusion_allow_split": "true"}),
     ("scavenge_vmem", {"xla_tpu_scavenge_vmem_for_fusions": "true"}),
     ("autotune_layouts", {"xla_tpu_autotune_layouts": "true"}),
+    # model-side seam fixes measured with the same protocol: env points
+    ("stage_fold", {"env": {"NEXTOU_STAGE_FOLD": "1"}}),
+    ("pallas_s2", {"env": {"NEXTOU_PALLAS_CONV": "s2"}}),
 ]
 
 
-def main():
+def run_point(name: str) -> None:
+    opts = dict(FLAG_SETS)[name]
+    env_overrides = opts.pop("env", None) if "env" in opts else None
+    if env_overrides:
+        os.environ.update(env_overrides)
+
     from nextou_tpu.models import NexToU
     from nextou_tpu.models.presets import flagship_3d_spec
     from nextou_tpu.utils import fast_init
@@ -65,36 +75,46 @@ def main():
     model = NexToU(spec=spec, dtype=jnp.bfloat16)
     v = device_put_variables(fast_init(model, 0, x, train=False), jnp.bfloat16)
     jax.block_until_ready(v)
-    print("init done", flush=True)
 
     def f(t):
         return model.apply(v, t, train=False)
 
-    results = {}
-    sets = list(FLAG_SETS)
-    if len(sys.argv) > 1:
-        # argv[1]: ":"-separated names to run (or 'stagefold' extras)
-        keep = set(sys.argv[1].split(":"))
-        sets = [fs for fs in sets if fs[0] in keep]
-    for name, opts in sets:
-        try:
-            t = device_loop_time(
-                f, x, n_small=2, n_large=10, repeats=3,
-                compiler_options=opts or None,
-            )
-            results[name] = t * 1e3
-        except Exception as e:  # noqa: BLE001
-            results[name] = f"ERR {str(e).splitlines()[0][:120]}"
-        print(f"{name:34s} {results[name]}", flush=True)
+    t = device_loop_time(
+        f, x, n_small=2, n_large=10, repeats=3,
+        compiler_options=opts or None,
+    )
+    print(f"RESULT_MS {t * 1e3:.2f}", flush=True)
 
-    # model-side seam fix, same measurement protocol
-    for sf in ("0", "1"):
-        os.environ["NEXTOU_STAGE_FOLD"] = sf
-        t = device_loop_time(f, x, n_small=2, n_large=10, repeats=3)
-        results[f"stage_fold={sf}"] = t * 1e3
-        print(f"{'stage_fold=' + sf:34s} {results[f'stage_fold={sf}']}",
-              flush=True)
-    os.environ.pop("NEXTOU_STAGE_FOLD", None)
+
+def main():
+    """Parent: one subprocess per point — a TPU-worker crash (e.g.
+    conv_pad_input_feature) then only loses that point."""
+    import subprocess
+
+    names = (
+        sys.argv[1].split(":")
+        if len(sys.argv) > 1
+        else [n for n, _ in FLAG_SETS]
+    )
+    results = {}
+    for name in names:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--point", name],
+                capture_output=True, text=True, timeout=1200,
+            )
+            ms = None
+            for line in out.stdout.splitlines():
+                if line.startswith("RESULT_MS"):
+                    ms = float(line.split()[1])
+            if ms is None:
+                tail = (out.stdout + out.stderr).strip().splitlines()[-2:]
+                results[name] = f"ERR rc={out.returncode}: {' | '.join(tail)[:160]}"
+            else:
+                results[name] = ms
+        except subprocess.TimeoutExpired:
+            results[name] = "TIMEOUT"
+        print(f"{name:34s} {results[name]}", flush=True)
 
     print("\n==== summary (batch-2 flagship forward, ms) ====")
     for name, r in results.items():
@@ -102,4 +122,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--point" in sys.argv:
+        run_point(sys.argv[sys.argv.index("--point") + 1])
+    else:
+        main()
