@@ -282,6 +282,21 @@ def _folded_conv_apply(x, kernel, bias, features, k, s, pad, dt):
             # model (breaks XLA's fusion with the adjacent norm/act and adds
             # partial-sum traffic) — opt-in experiment, off by default
             y = _dec2d_conv(x, kernel, pp)
+        elif (
+            nd == 3
+            and kk == (3, 3, 3)
+            and any(s_ > 1 for s_ in ss)
+            and all(s_ in (1, 2) for s_ in ss)
+            and ss[1] == ss[2]
+            and all(p_ == (1, 1) for p_ in pp)
+            and x.shape[1] % ss[0] == 0
+            and os.environ.get("NEXTOU_DEC2D_STRIDED", "0") == "1"
+        ):
+            # STRIDED dec2d (round 5): only the pathological strided 3D
+            # lowerings (e1a/e2a) route through kd depth-batched 2D
+            # stride-2 convs — the shape XLA lowers best — while stride-1
+            # convs keep their fused 3D lowering (the global dec2d's loss)
+            y = _dec2d_conv(x, kernel, pp, ss)
         else:
             dn = (f"N{letters}C", f"{letters}IO", f"N{letters}C")
             y = jax.lax.conv_general_dilated(
@@ -414,26 +429,40 @@ def _phase_conv(x, kernel, strides, pads):
     return out
 
 
-def _dec2d_conv(x, kernel, pad):
-    """(N, D, H, W, C) x (kd, kh, kw, C, Co), stride 1: sum over kd of
-    D-shifted, depth-batched 2D convolutions."""
+def _dec2d_conv(x, kernel, pad, strides=(1, 1, 1)):
+    """(N, D, H, W, C) x (kd, kh, kw, C, Co): sum over kd of D-shifted
+    (stride-1 depth) or D-strided-sliced (stride-2 depth), depth-batched 2D
+    convolutions. The 2D convs carry the in-plane strides — for the
+    pathological 3D strided lowerings (e1a 13.4 / e2a 15.7 TF/s, PERF.md)
+    this routes the work through XLA's stride-2 3x3 2D conv (the classic
+    ResNet downsample shape) at folded batch N*D_out."""
     N, D, H, W, C = x.shape
     kd = kernel.shape[0]
     Co = kernel.shape[-1]
+    sd, sh, sw = strides
+    Do = D // sd
     xp = jnp.pad(x, ((0, 0), pad[0], (0, 0), (0, 0), (0, 0)))
     acc = None
     for kdi in range(kd):
-        planes = jax.lax.slice_in_dim(xp, kdi, kdi + D, axis=1)
+        if sd == 1:
+            planes = jax.lax.slice_in_dim(xp, kdi, kdi + D, axis=1)
+        else:
+            planes = jax.lax.slice(
+                xp,
+                (0, kdi, 0, 0, 0),
+                (N, kdi + sd * (Do - 1) + 1, H, W, C),
+                (1, sd, 1, 1, 1),
+            )
         y2 = jax.lax.conv_general_dilated(
-            planes.reshape(N * D, H, W, C),
+            planes.reshape(N * Do, H, W, C),
             kernel[kdi],
-            window_strides=(1, 1),
+            window_strides=(sh, sw),
             padding=pad[1:],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
         )
         acc = y2 if acc is None else acc + y2
-    return acc.reshape(N, D, H, W, Co).astype(x.dtype)
+    return acc.reshape(N, Do, *acc.shape[1:3], Co).astype(x.dtype)
 
 
 def act(name: str, x: jax.Array, neg_slope: float = 1e-2) -> jax.Array:

@@ -769,3 +769,26 @@ def test_stage_fold_matches_unfolded(monkeypatch):
             ),
             st0["batch_stats"], st1["batch_stats"],
         )
+
+
+def test_dec2d_strided_matches_lax_conv(monkeypatch):
+    """NEXTOU_DEC2D_STRIDED routes strided (3,3,3) convs through
+    depth-batched 2D convs — must match lax.conv_general_dilated exactly
+    (same taps, f32 accumulation), for both flagship strided geometries."""
+    from nextou_tpu.nn.layers import _dec2d_conv
+
+    rng = np.random.default_rng(5)
+    for stride in [(1, 2, 2), (2, 2, 2)]:
+        x = jnp.asarray(rng.standard_normal((2, 4, 12, 10, 5)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 3, 5, 7)) * 0.1, jnp.float32
+        )
+        pad = ((1, 1), (1, 1), (1, 1))
+        want = jax.lax.conv_general_dilated(
+            x, w, stride, pad, dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+        )
+        got = _dec2d_conv(x, w, pad, stride)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5,
+            err_msg=f"stride {stride}",
+        )

@@ -54,6 +54,9 @@ FLAG_SETS = [
     # model-side seam fixes measured with the same protocol: env points
     ("stage_fold", {"env": {"NEXTOU_STAGE_FOLD": "1"}}),
     ("pallas_s2", {"env": {"NEXTOU_PALLAS_CONV": "s2"}}),
+    ("dec2d_strided", {"env": {"NEXTOU_DEC2D_STRIDED": "1"}}),
+    ("dec2d_strided+stage_fold",
+     {"env": {"NEXTOU_DEC2D_STRIDED": "1", "NEXTOU_STAGE_FOLD": "1"}}),
 ]
 
 
