@@ -453,13 +453,16 @@ def _dec2d_conv(x, kernel, pad, strides=(1, 1, 1)):
                 (N, kdi + sd * (Do - 1) + 1, H, W, C),
                 (1, sd, 1, 1, 1),
             )
+        # input-dtype output: preferred_element_type=f32 breaks the VJP
+        # (XLA's grad conv then mixes bf16/f32 operands). The MXU still
+        # accumulates each conv in f32 internally; only the kd-sum rounds
+        # at the compute dtype (<=2 ulp vs the single 3D conv).
         y2 = jax.lax.conv_general_dilated(
             planes.reshape(N * Do, H, W, C),
             kernel[kdi],
             window_strides=(sh, sw),
             padding=pad[1:],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         acc = y2 if acc is None else acc + y2
     return acc.reshape(N, Do, *acc.shape[1:3], Co).astype(x.dtype)
