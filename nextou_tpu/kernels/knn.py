@@ -275,6 +275,227 @@ def _knn_indices_pallas(xn, yn, rel, *, k, tile_n, block_b, interpret):
     )(*operands)
 
 
+def _maxidx_kernel(x_ref, yn_ref, yv_ref, *refs, k: int, m_valid: int):
+    """`_kernel` that ALSO emits the selected indices (BB, TILE_N, k).
+
+    The training forward (NEXTOU_KNN_TRAIN_IDX=2): one kernel produces the
+    per-channel neighbor max (same exact semantics as `_kernel`) plus the
+    selection, so the custom VJP can save only (values, idx, out) and run
+    the backward as one-hot MXU matmuls (`_bwd_kernel`) instead of XLA's
+    materialized (B*N*k, C) gathers + irregular scatters (~128 ms/step in
+    the round-5 train trace)."""
+    if len(refs) == 3:
+        rel_ref, out_ref, idx_ref = refs
+    else:
+        (out_ref, idx_ref) = refs
+        rel_ref = None
+    x = x_ref[...]
+    yn = yn_ref[...]
+    yv = yv_ref[...]
+    bb, tile_n, _ = x.shape
+    m = yn.shape[1]
+
+    xf = x.astype(jnp.float32)
+    ynf = yn.astype(jnp.float32)
+    x_sq = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    y_sq = jnp.sum(ynf * ynf, axis=-1, keepdims=True)
+    inner = jax.lax.dot_general(
+        x, yn, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dist = x_sq - 2.0 * inner + jnp.swapaxes(y_sq, 1, 2)
+    if rel_ref is not None:
+        dist = dist + rel_ref[:][None]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bb, tile_n, m), 2)
+    dist = jnp.where(col < m_valid, dist, jnp.inf)
+
+    big = jnp.float32(jnp.inf)
+    maxy = jnp.full((bb, tile_n, x.shape[-1]), -big, jnp.float32)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (bb, tile_n, k), 2)
+    idxs0 = jnp.zeros((bb, tile_n, k), jnp.int32)
+
+    def body(j, carry):
+        dist, maxy, idxs = carry
+        mins = jnp.min(dist, axis=-1, keepdims=True)
+        amin = jnp.min(
+            jnp.where(dist == mins, col, m), axis=-1, keepdims=True
+        )
+        dist = jnp.where(col == amin, big, dist)
+        idxs = jnp.where(colk == j, amin, idxs)
+        onehot = (col == amin).astype(yv.dtype)
+        sel = jax.lax.dot_general(
+            onehot, yv, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=(
+                None
+                if yv.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST
+            ),
+        )
+        return dist, jnp.maximum(maxy, sel), idxs
+
+    _, maxy, idxs = jax.lax.fori_loop(0, k, body, (dist, maxy, idxs0))
+    out_ref[...] = maxy
+    idx_ref[...] = idxs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "block_b", "interpret")
+)
+def _knn_max_idx_pallas(xn, yn, yv, rel, *, k, tile_n, block_b, interpret):
+    B, N, C = xn.shape
+    M = yn.shape[1]
+    grid = (pl.cdiv(B, block_b), pl.cdiv(N, tile_n))
+    kernel = functools.partial(_maxidx_kernel, k=k, m_valid=M)
+    in_specs = [
+        pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = (xn, yn, yv)
+    if rel is not None:
+        in_specs.append(
+            pl.BlockSpec((tile_n, M), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands = operands + (rel,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, tile_n, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(*operands)
+
+
+def _bwd_kernel(yv_ref, idx_ref, maxy_ref, g_ref, gy_ref, *, k: int,
+                n_valid: int, tile_n: int):
+    """Cotangent scatter for max-over-selected-neighbors, all on the MXU.
+
+    For query block rows n and their k selected candidates idx[n, j]:
+        gy[m, c] += sum_{n, j: idx[n,j]=m} eq[n,j,c] * g[n,c] / cnt[n,c]
+    where eq[n,j,c] = (yv[idx[n,j], c] == maxy[n,c]) and cnt = sum_j eq —
+    exactly `jnp.max`'s VJP (ties split evenly). Per j-round: gathered_j =
+    onehot_j @ yv (exact, like the forward), then the scatter is the
+    TRANSPOSED one-hot matmul onehot_j^T @ (eq*g/cnt). 3k matmuls per tile
+    (k to count ties, k re-gathers, k scatters), no (N, k, C) tensor ever
+    materialized.
+
+    gy_ref is revisited across the query-tile grid axis (accumulated in
+    VMEM, written once per batch block).
+    """
+    i = pl.program_id(1)
+    yv = yv_ref[...]
+    idx = idx_ref[...]  # (BB, TILE, k)
+    maxy = maxy_ref[...]  # (BB, TILE, C) value dtype
+    g = g_ref[...].astype(jnp.float32)
+    bb, m, c = yv.shape
+    tile = idx.shape[1]
+
+    # zero padded query rows (the last tile may run past N)
+    row = jax.lax.broadcasted_iota(jnp.int32, (bb, tile, 1), 1)
+    g = jnp.where(row + i * tile_n < n_valid, g, 0.0)
+
+    colm = jax.lax.broadcasted_iota(jnp.int32, (bb, tile, m), 2)
+    colk = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 2)
+
+    def onehot_at(j):
+        # column j of idx via an iota-masked min (Mosaic has no
+        # dynamic_slice on a traced loop index); idx values are < m so the
+        # m fill never wins
+        a = jnp.min(
+            jnp.where(colk == j, idx, m), axis=2, keepdims=True
+        )  # (BB, TILE, 1)
+        return colm == a
+
+    def gather_eq(j):
+        oh = onehot_at(j).astype(yv.dtype)
+        sel = jax.lax.dot_general(
+            oh, yv, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=(
+                None
+                if yv.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST
+            ),
+        )  # (BB, TILE, C) f32 — exact values
+        return (sel == maxy.astype(jnp.float32)).astype(jnp.float32)
+
+    cnt = jax.lax.fori_loop(
+        0, k,
+        lambda j, acc: acc + gather_eq(j),
+        jnp.zeros((bb, tile, c), jnp.float32),
+    )
+    # every row has >= 1 tie with its own max; padded rows divide garbage
+    # but their g is already zeroed
+    gv = g / jnp.maximum(cnt, 1.0)
+
+    def scatter(j, acc):
+        contrib = gather_eq(j) * gv  # (BB, TILE, C)
+        oh = onehot_at(j).astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            oh, contrib, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (BB, M, C)
+
+    part = jax.lax.fori_loop(
+        0, k, scatter, jnp.zeros((bb, m, c), jnp.float32)
+    )
+
+    @pl.when(i == 0)
+    def _():
+        gy_ref[...] = jnp.zeros(gy_ref.shape, gy_ref.dtype)
+
+    gy_ref[...] += part
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_n", "block_b", "interpret")
+)
+def _knn_max_bwd_pallas(yv, idx, maxy, g, *, k, tile_n, block_b, interpret):
+    B, M, C = yv.shape
+    N = idx.shape[1]
+    grid = (pl.cdiv(B, block_b), pl.cdiv(N, tile_n))
+    kernel = functools.partial(
+        _bwd_kernel, k=k, n_valid=N, tile_n=tile_n
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, tile_n, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, tile_n, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(yv, idx, maxy, g)
+
+
 def _coord_dtype(raw_dtype, train: bool = False) -> jnp.dtype:
     """Dtype the *normalized coordinates* are held in for selection.
 
@@ -383,6 +604,60 @@ def _knn_max_fused_bwd(k, tile_n, block_b, interpret, train, res, g):
 
 
 _knn_max_fused.defvjp(_knn_max_fused_fwd, _knn_max_fused_bwd)
+
+
+# --- training mode 2: fused forward + Pallas one-hot-matmul backward ------
+#
+# NEXTOU_KNN_TRAIN_IDX=2. The forward is the fused kernel extended to emit
+# the selected indices (`_maxidx_kernel`); the VJP saves only (values, idx,
+# out) and computes the value cotangent with `_bwd_kernel` — gather +
+# scatter both as one-hot MXU matmuls, so the (B, N, k, C) gathered tensor
+# and XLA's irregular scatter (~128 ms/step at flagship scale, round-5
+# train trace) never exist. Tie handling matches `jnp.max`'s VJP exactly
+# (cotangent split evenly over tied maxima); the residual numerical
+# difference vs the XLA path is pure f32 ADD ORDER in the scatter
+# accumulation (ours: per-tile sequential; XLA's: scatter order) — ulp
+# level, covered by the mode-2 kernel tests, NOT bit-identical (which is
+# why interpret/CPU keeps mode 1 as the default and the strict trajectory
+# test pins mode 1 semantics).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _knn_max_train2(
+    k: int, tile_n: int, block_b: int, interpret: bool, train: bool, x, y, rel
+):
+    out, _ = _knn_max_train2_fwd(k, tile_n, block_b, interpret, train, x, y, rel)
+    return out
+
+
+def _knn_max_train2_fwd(k, tile_n, block_b, interpret, train, x, y, rel):
+    cdt = _coord_dtype(x.dtype, train)
+    xn = _l2_normalize(x.astype(jnp.float32), axis=-1).astype(cdt)
+    yn = _l2_normalize(y.astype(jnp.float32), axis=-1).astype(cdt)
+    yv = y if y.dtype == jnp.bfloat16 else y.astype(jnp.float32)
+    maxy, idx = _knn_max_idx_pallas(
+        xn, yn, yv, rel, k=k, tile_n=tile_n,
+        block_b=block_b, interpret=interpret,
+    )
+    out = maxy.astype(x.dtype)
+    return out, (yv, idx, out, rel)
+
+
+def _knn_max_train2_bwd(k, tile_n, block_b, interpret, train, res, g):
+    yv, idx, out, rel = res
+    gy = _knn_max_bwd_pallas(
+        yv, idx, out.astype(yv.dtype), g,
+        k=k, tile_n=tile_n, block_b=block_b, interpret=interpret,
+    )
+    gx = jnp.zeros_like(g)  # selection carries no gradient
+    return (
+        gx,
+        gy.astype(yv.dtype),
+        None if rel is None else jnp.zeros_like(rel),
+    )
+
+
+_knn_max_train2.defvjp(_knn_max_train2_fwd, _knn_max_train2_bwd)
 
 
 def knn_max_neighbors(
@@ -570,20 +845,29 @@ def knn_max_neighbors(
         if forced is not None:
             return forced
 
-    # TRAIN steps route through the indices kernel by default: the fused
-    # kernel's custom VJP re-selects with XLA dense_knn — full distance
-    # matrix + top_k sort + gather, ~75 ms/step across the flagship
-    # graphers in the round-4 train trace — while the indices path shares
-    # ONE Pallas selection between fwd and bwd (stop_gradient on idx), so
-    # the backward is just the (checkpointed) gather/max VJP. Measured
-    # (bench_train_step, B=2, remat='big'): 798 ms/step vs 809 fused —
-    # a small win, because the XLA fwd gather + bwd re-gather give back
-    # most of the saved re-selection; kept as default for the stronger
-    # property that fwd and bwd share ONE selection (no near-tie cotangent
-    # mis-routing). Inference keeps the fused kernel (its one-hot MXU
-    # gather beats XLA's take 2-4x and there is no backward to pay for).
-    # NEXTOU_KNN_TRAIN_IDX=0 reverts.
-    if train and os.environ.get("NEXTOU_KNN_TRAIN_IDX", "1") == "1":
+    # TRAIN dispatch (NEXTOU_KNN_TRAIN_IDX):
+    #   "1" — indices kernel + XLA gather/max: fwd and bwd share ONE Pallas
+    #         selection (stop_gradient on idx), backward is the gather/max
+    #         VJP. Bit-identical to the fallback on CPU (the round-5
+    #         adjudication's strict contract); 798 vs 809 ms/step fused.
+    #   "2" — fused forward emitting indices + Pallas one-hot-matmul
+    #         backward (`_knn_max_train2`): no (B, N, k, C) gather tensor,
+    #         no XLA scatter (~128 ms/step of both at flagship scale,
+    #         round-5 train trace). Same shared-selection property; the
+    #         value cotangent differs from the XLA path only in f32 add
+    #         order (ulp). Dispatched at the bottom where the fused-kernel
+    #         tile/VMEM sizing lives; falls back to "1" at large M.
+    #   "0" — legacy fused kernel whose bwd re-selects via XLA dense_knn.
+    # Default: "2" on TPU (measured round 5), "1" in interpret/CPU mode —
+    # keeps the off-TPU path bit-exact vs the fallback for the strict
+    # trajectory test. Inference always keeps the fused kernel (one-hot
+    # MXU gather beats XLA's take 2-4x; no backward to pay for).
+    train_mode = (
+        os.environ.get("NEXTOU_KNN_TRAIN_IDX", "1" if interpret else "2")
+        if train
+        else None
+    )
+    if train_mode == "1":
         out = try_idx_path()
         if out is not None:
             return out
@@ -627,6 +911,12 @@ def knn_max_neighbors(
         if relative_pos is None
         else jnp.broadcast_to(relative_pos.astype(jnp.float32), (N, M))
     )
+    if train_mode == "2":
+        return _knn_max_train2(k, tile, block_b, interpret, train, x, vals, rel)
+    if train_mode == "1":
+        # idx path declined (interpret size guard) — "1" semantics continue
+        # on the fused kernel, as before the mode split
+        pass
     # self-graph: pass x as the candidate set too; JAX accumulates the two
     # cotangent paths back onto x automatically.
     return _knn_max_fused(k, tile, block_b, interpret, train, x, vals, rel)

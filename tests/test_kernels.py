@@ -283,3 +283,69 @@ def test_knn_train_idx_path_bitwise_jitted(monkeypatch):
             np.asarray(gk), np.asarray(gr), err_msg=f"{name}: grad"
         )
         assert float(vk) == float(vr), (name, float(vk), float(vr))
+
+
+def test_knn_train_mode2_pallas_backward(monkeypatch):
+    """NEXTOU_KNN_TRAIN_IDX=2 (fused fwd emitting indices + Pallas one-hot
+    matmul backward): forward must be BIT-identical to the fallback;
+    gradients must match the XLA VJP to f32 add-order (allclose), and
+    BIT-exactly on a construction where every candidate receives at most
+    one cotangent contribution (scatter order then cannot matter)."""
+    monkeypatch.setenv("NEXTOU_KNN_TRAIN_IDX", "2")
+    rng = np.random.default_rng(7)
+    for name, B, N, M, C, k, use_rel, self_graph in [
+        ("self+rel", 4, 168, 168, 12, 7, True, True),
+        ("cross", 2, 336, 84, 12, 14, False, False),
+    ]:
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        y = (
+            None
+            if self_graph
+            else jnp.asarray(rng.standard_normal((B, M, C)), jnp.float32)
+        )
+        rel = (
+            jnp.asarray(rng.standard_normal((N, M)) * 0.1, jnp.float32)
+            if use_rel
+            else None
+        )
+        g = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+
+        def loss(fn, x_):
+            out = fn(x_, k, y=y, relative_pos=rel, train=True)
+            return jnp.sum(out * g), out
+
+        (vk, ok), gk = jax.value_and_grad(
+            lambda x_: loss(knn_max_neighbors, x_), has_aux=True
+        )(x)
+        (vr, orf), gr = jax.value_and_grad(
+            lambda x_: loss(knn_max_neighbors_reference, x_), has_aux=True
+        )(x)
+        np.testing.assert_array_equal(
+            np.asarray(ok), np.asarray(orf), err_msg=f"{name}: fwd"
+        )
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=1e-5, atol=1e-6,
+            err_msg=f"{name}: grad",
+        )
+
+    # order-unambiguous construction: N queries, each with k unique nearest
+    # candidates DISJOINT from every other query's (M = N*k clusters) —
+    # each candidate gets exactly one (n, j) contribution, so the scatter
+    # is a permutation and must be bit-exact vs the XLA VJP.
+    N2, k2, C2 = 16, 3, 8
+    M2 = N2 * k2
+    qs = rng.standard_normal((1, N2, C2)).astype(np.float32) * 10
+    cands = np.repeat(qs[0], k2, axis=0) + 0.01 * rng.standard_normal(
+        (M2, C2)
+    ).astype(np.float32)
+    xq = jnp.asarray(qs)
+    yc = jnp.asarray(cands[None])
+    g2 = jnp.asarray(rng.standard_normal((1, N2, C2)), jnp.float32)
+
+    def loss2(fn, y_):
+        out = fn(xq, k2, y=y_, relative_pos=None, train=True)
+        return jnp.sum(out * g2)
+
+    gk2 = jax.grad(lambda y_: loss2(knn_max_neighbors, y_))(yc)
+    gr2 = jax.grad(lambda y_: loss2(knn_max_neighbors_reference, y_))(yc)
+    np.testing.assert_array_equal(np.asarray(gk2), np.asarray(gr2))
