@@ -381,18 +381,18 @@ def _knn_max_idx_pallas(xn, yn, yv, rel, *, k, tile_n, block_b, interpret):
     )(*operands)
 
 
-def _bwd_kernel(yv_ref, idx_ref, maxy_ref, g_ref, gy_ref, *, k: int,
+def _bwd_kernel(yv_ref, idx_ref, maxy_ref, g_ref, gy_ref, eq_ref, *, k: int,
                 n_valid: int, tile_n: int):
     """Cotangent scatter for max-over-selected-neighbors, all on the MXU.
 
     For query block rows n and their k selected candidates idx[n, j]:
         gy[m, c] += sum_{n, j: idx[n,j]=m} eq[n,j,c] * g[n,c] / cnt[n,c]
     where eq[n,j,c] = (yv[idx[n,j], c] == maxy[n,c]) and cnt = sum_j eq —
-    exactly `jnp.max`'s VJP (ties split evenly). Per j-round: gathered_j =
-    onehot_j @ yv (exact, like the forward), then the scatter is the
-    TRANSPOSED one-hot matmul onehot_j^T @ (eq*g/cnt). 3k matmuls per tile
-    (k to count ties, k re-gathers, k scatters), no (N, k, C) tensor ever
-    materialized.
+    exactly `jnp.max`'s VJP (ties split evenly). Pass 1: k one-hot gather
+    matmuls (onehot_j @ yv, exact like the forward) compute the tie masks,
+    cached in a VMEM scratch, and their sum cnt. Pass 2: k TRANSPOSED
+    one-hot matmuls scatter eq*g/cnt into the (M, C) gradient. 2k matmuls
+    per tile; no (N, k, C) tensor ever reaches HBM.
 
     gy_ref is revisited across the query-tile grid axis (accumulated in
     VMEM, written once per batch block).
@@ -434,17 +434,24 @@ def _bwd_kernel(yv_ref, idx_ref, maxy_ref, g_ref, gy_ref, *, k: int,
         )  # (BB, TILE, C) f32 — exact values
         return (sel == maxy.astype(jnp.float32)).astype(jnp.float32)
 
+    def count(j, acc):
+        eq = gather_eq(j)
+        # scratch layout (BB, k, TILE, C): j indexes a MAJOR axis, so the
+        # dynamic store is a contiguous (TILE, C) block — no sublane-offset
+        # stores (the Mosaic failure mode of the im2col kernel, PERF.md)
+        eq_ref[:, pl.ds(j, 1), :, :] = eq[:, None, :, :]
+        return acc + eq
+
     cnt = jax.lax.fori_loop(
-        0, k,
-        lambda j, acc: acc + gather_eq(j),
-        jnp.zeros((bb, tile, c), jnp.float32),
+        0, k, count, jnp.zeros((bb, tile, c), jnp.float32)
     )
     # every row has >= 1 tie with its own max; padded rows divide garbage
     # but their g is already zeroed
     gv = g / jnp.maximum(cnt, 1.0)
 
     def scatter(j, acc):
-        contrib = gather_eq(j) * gv  # (BB, TILE, C)
+        eq = eq_ref[:, pl.ds(j, 1), :, :][:, 0, :, :]
+        contrib = eq * gv  # (BB, TILE, C)
         oh = onehot_at(j).astype(jnp.float32)
         return acc + jax.lax.dot_general(
             oh, contrib, (((1,), (1,)), ((0,), (0,))),
@@ -488,8 +495,11 @@ def _knn_max_bwd_pallas(yv, idx, maxy, g, *, k, tile_n, block_b, interpret):
         out_specs=pl.BlockSpec((block_b, M, C), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, M, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, k, tile_n, C), jnp.float32)
+        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 << 20,
+            vmem_limit_bytes=96 << 20,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
@@ -778,6 +788,16 @@ def knn_max_neighbors(
     else:
         auto_tile = False
         vmem_budget = 15 << 20
+        if train:
+            # experiment knob: the round-4 crash bisect pinned TRAIN tiles
+            # at 256 for the OLD fused-bwd path; the mode-2 kernels differ,
+            # so NEXTOU_KNN_TRAIN_TILE allows re-probing larger tiles
+            # (with a proportionally wider budget) without touching the
+            # proven default
+            t_env = os.environ.get("NEXTOU_KNN_TRAIN_TILE", "")
+            if t_env and auto_tile is False and tile_n is None:
+                tile_req = int(t_env)
+                vmem_budget = max(vmem_budget, (tile_req // 256) * (15 << 20))
     bb_budget = int(os.environ.get("NEXTOU_KNN_BB_MB", "11") or 11) << 20
 
     def try_idx_path():
