@@ -185,57 +185,13 @@ def main():
         f"naive {naive_b/1e6:.0f} MB)"
     )
 
-    # ---- bare forward ---------------------------------------------------
-    try:
-        dt_fwd = device_loop_time(
-            lambda x: model.apply(variables, x, train=False),
-            x,
-            n_small=1,
-            n_large=9,
-            repeats=2,
-        )
-        fwd_pps = BATCH / dt_fwd
-        extras["fwd_patches_per_sec"] = round(fwd_pps, 3)
-        extras["fwd_vs_baseline"] = round(fwd_pps / A100_FWD_EST, 3)
-        extras["fwd_ms_per_batch"] = round(dt_fwd * 1e3, 1)
-        _log(f"forward: {dt_fwd*1e3:.1f} ms/step -> {fwd_pps:.2f} patches/s")
-    except Exception as e:  # noqa: BLE001
-        fail("fwd", e)
-
-    # ---- 2D config forward (RAVIR surface, VERDICT r4 #7) ---------------
-    # On-chip evidence for the 2D path (512x448, 7 stages, base 32 —
-    # nnUNetPlans.json:26-131); everything else benched here is the 3D
-    # flagship. Params are freed right after to keep HBM for the sliding
-    # window (the round-3 OOM was bench-context pressure).
-    if os.environ.get("NEXTOU_BENCH_PRESET", "flagship") == "flagship":
-        try:
-            from nextou_tpu.models.presets import ravir_2d_spec
-
-            spec2d = ravir_2d_spec(deep_supervision=False)
-            model2d = NexToU(spec=spec2d, dtype=jnp.bfloat16)
-            b2d = 12  # the 2d plans batch size
-            x2d = jnp.zeros(
-                (b2d, *spec2d.patch_size, spec2d.in_channels), jnp.bfloat16
-            )
-            v2d = device_put_variables(
-                fast_init(model2d, 0, x2d, train=False), jnp.bfloat16
-            )
-            jax.block_until_ready(v2d)
-            dt2d = device_loop_time(
-                lambda t: model2d.apply(v2d, t, train=False),
-                x2d, n_small=1, n_large=9, repeats=2,
-            )
-            extras["fwd2d_patches_per_sec"] = round(b2d / dt2d, 2)
-            extras["fwd2d_batch"] = b2d
-            _log(
-                f"2d forward: {dt2d*1e3:.1f} ms/batch-{b2d} -> "
-                f"{b2d/dt2d:.1f} patches/s"
-            )
-            del v2d, model2d, x2d
-        except Exception as e:  # noqa: BLE001
-            fail("fwd2d", e)
-
     # ---- north star: fused sliding window, device argmax ---------------
+    # The HEADLINE runs FIRST: every earlier section's executables/arrays
+    # cost the fused window measurably (round-5: 0.339 s/volume streamed in
+    # a clean process vs 0.498 after the forward+2D sections had run —
+    # tools/exp_sw_tile_batch.py vs BENCH). The bare-forward / 2D / train
+    # readings are context-insensitive (they match their standalone tools)
+    # and run after.
     from nextou_tpu.infer import make_device_sliding_predictor
 
     vol = (
@@ -388,6 +344,55 @@ def main():
             del predictor_tta
         except Exception as e:  # noqa: BLE001
             fail("tta", e)
+
+    # ---- bare forward ---------------------------------------------------
+    try:
+        dt_fwd = device_loop_time(
+            lambda x: model.apply(variables, x, train=False),
+            x,
+            n_small=1,
+            n_large=9,
+            repeats=2,
+        )
+        fwd_pps = BATCH / dt_fwd
+        extras["fwd_patches_per_sec"] = round(fwd_pps, 3)
+        extras["fwd_vs_baseline"] = round(fwd_pps / A100_FWD_EST, 3)
+        extras["fwd_ms_per_batch"] = round(dt_fwd * 1e3, 1)
+        _log(f"forward: {dt_fwd*1e3:.1f} ms/step -> {fwd_pps:.2f} patches/s")
+    except Exception as e:  # noqa: BLE001
+        fail("fwd", e)
+
+    # ---- 2D config forward (RAVIR surface, VERDICT r4 #7) ---------------
+    # On-chip evidence for the 2D path (512x448, 7 stages, base 32 —
+    # nnUNetPlans.json:26-131); everything else benched here is the 3D
+    # flagship.
+    if os.environ.get("NEXTOU_BENCH_PRESET", "flagship") == "flagship":
+        try:
+            from nextou_tpu.models.presets import ravir_2d_spec
+
+            spec2d = ravir_2d_spec(deep_supervision=False)
+            model2d = NexToU(spec=spec2d, dtype=jnp.bfloat16)
+            b2d = 12  # the 2d plans batch size
+            x2d = jnp.zeros(
+                (b2d, *spec2d.patch_size, spec2d.in_channels), jnp.bfloat16
+            )
+            v2d = device_put_variables(
+                fast_init(model2d, 0, x2d, train=False), jnp.bfloat16
+            )
+            jax.block_until_ready(v2d)
+            dt2d = device_loop_time(
+                lambda t: model2d.apply(v2d, t, train=False),
+                x2d, n_small=1, n_large=9, repeats=2,
+            )
+            extras["fwd2d_patches_per_sec"] = round(b2d / dt2d, 2)
+            extras["fwd2d_batch"] = b2d
+            _log(
+                f"2d forward: {dt2d*1e3:.1f} ms/batch-{b2d} -> "
+                f"{b2d/dt2d:.1f} patches/s"
+            )
+            del v2d, model2d, x2d
+        except Exception as e:  # noqa: BLE001
+            fail("fwd2d", e)
 
     # ---- train step (fwd+bwd+update, the nnU-Net protocol) ---------------
     # Regression-gates training throughput alongside inference (VERDICT r2
